@@ -1,0 +1,91 @@
+"""Engine configuration.
+
+ref: internal/config.go:12-37 (fields + defaults) and pkg/retry/retry.go:82-93
+(retry defaults). Env-var override names follow the reference's
+``CRAWLER_*`` convention (internal/config.go:107-139).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    return float(v) if v else default
+
+
+@dataclass(frozen=True)
+class RetryConfig:
+    """ref: pkg/retry/retry.go:82-93 — 3 attempts, 1s delay, 3s cap,
+    backoff factor 1, jitter factor 0.1."""
+
+    max_attempts: int = 3
+    delay_s: float = 1.0
+    max_delay_s: float = 3.0
+    backoff_factor: float = 1.0
+    jitter_factor: float = 0.1
+
+    def validate(self) -> None:
+        if self.max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
+        if self.delay_s < 0 or self.max_delay_s < 0:
+            raise ValueError("delays must be non-negative")
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """ref: internal/config.go:29-37 defaults (MaxCount=100, MaxConcurrent=10,
+    Timeout=30s, MaxFileSize=64MB). Fields marked [EXTENSION] implement
+    north-rule capabilities absent from the reference (depth limit,
+    politeness, bloom filter, checkpointing).
+    """
+
+    max_count: int = 100            # page budget; seed counts (queue.go:101-106)
+    max_concurrent: int = 10        # maps to shuffle/repartition parallelism
+    max_file_size: int = 64 * 1024 * 1024  # bytes (config.go:37)
+    output_dir: str = "./out"
+    retry: RetryConfig = field(default_factory=RetryConfig)
+
+    # [EXTENSION] north-rule additions
+    max_depth: int = 2**31 - 1      # depth limit; children deeper are never enqueued
+    host_slots_per_round: int = 0   # politeness: max fetches/host/round; 0 = unlimited
+    politeness_salts: int = 8       # salt count for skewed-host windows
+    bloom_bits: int = 1 << 20       # bloom filter size in bits
+    bloom_hashes: int = 5
+    use_bloom: bool = True
+    shuffle_partitions: int = 32
+    frontier_buckets: int = 32      # partitioning of frontier/seen by xxhash64(url)
+
+    @staticmethod
+    def from_env(**overrides) -> "CrawlConfig":
+        """env → overrides → validate, mirroring LoadConfig
+        (ref: internal/config.go:25-57)."""
+        base = dict(
+            max_count=_env_int("CRAWLER_MAX_COUNT", 100),
+            max_concurrent=_env_int("CRAWLER_MAX_CONCURRENT", 10),
+            max_file_size=_env_int("CRAWLER_MAX_FILE_SIZE", 64 * 1024 * 1024),
+            output_dir=os.environ.get("CRAWLER_OUTPUT_DIR", "./out"),
+        )
+        base.update(overrides)
+        cfg = CrawlConfig(**base)
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        """ref: internal/config.go:59-83 — positivity + non-empty checks."""
+        if self.max_count <= 0:
+            raise ValueError("max_count must be positive")
+        if self.max_concurrent <= 0:
+            raise ValueError("max_concurrent must be positive")
+        if self.max_file_size <= 0:
+            raise ValueError("max_file_size must be positive")
+        if not self.output_dir:
+            raise ValueError("output_dir must be non-empty")
+        self.retry.validate()

@@ -1,0 +1,316 @@
+"""HTML resource extraction, text extraction, and URL rewrite.
+
+Deterministic pure functions over raw HTML bytes (stdlib ``html.parser`` —
+no version-drifting third-party parser), plus Arrow-vectorized pandas-UDF
+wrappers. These are the engine's only "parse" code paths.
+
+Reference semantics reproduced:
+- resource collection (tags a/link/script/img, document order):
+  pkg/htmlparser/parser.go:20-39 (walk parser.go:83-98)
+- attribute dispatch (script,img→src; link→href iff type=text/css or
+  rel=stylesheet; a→href; first attribute occurrence wins):
+  pkg/htmlparser/parser.go:41-65,100-108
+- URL rewrite (WriteResourceURL): pkg/htmlparser/parser.go:67-80,110-118.
+  DIVERGENCE, documented: the reference re-renders the whole DOM
+  (internal/models.go:102-108) which normalizes markup; this engine rewrites
+  attribute values *in place*, leaving every other byte identical — a pure,
+  deterministic function of (html, url) as the input_hint requires.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+import pyarrow  # noqa: F401  (assert Arrow availability early)
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from go_crawler_spark.functions.urls import (
+    asset_save_path,
+    canonicalize,
+    host_of,
+    link_target_save_path,
+    make_relative_url,
+    page_save_path,
+)
+
+RESOURCE_TAGS = ("a", "link", "script", "img")
+
+
+def _first_attr(attrs: List[Tuple[str, Optional[str]]], name: str) -> Optional[str]:
+    """First occurrence wins — ref: pkg/htmlparser/parser.go:100-108."""
+    for k, v in attrs:
+        if k == name:
+            return v if v is not None else ""
+    return None
+
+
+def _resource_src(tag: str, attrs: List[Tuple[str, Optional[str]]]) -> Optional[str]:
+    """Attribute-read dispatch — ref: pkg/htmlparser/parser.go:41-65."""
+    if tag in ("script", "img"):
+        return _first_attr(attrs, "src")
+    if tag == "link":
+        type_attr = _first_attr(attrs, "type") or ""
+        rel_attr = _first_attr(attrs, "rel") or ""
+        if type_attr == "text/css" or rel_attr == "stylesheet":
+            return _first_attr(attrs, "href")
+        return None
+    if tag == "a":
+        return _first_attr(attrs, "href")
+    return None
+
+
+class _CollectParser(HTMLParser):
+    """Collects (tag, src, byte_offset, raw_tag_text) for resource tags in
+    document order. Input is the latin-1 decoding of the raw bytes so that
+    offsets are byte offsets and re-encoding roundtrips exactly."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.found: list[tuple[str, str, int, str]] = []
+        self._line_starts: list[int] = [0]
+
+    def feed_text(self, s: str) -> None:
+        pos = 0
+        while True:
+            nl = s.find("\n", pos)
+            if nl < 0:
+                break
+            self._line_starts.append(nl + 1)
+            pos = nl + 1
+        self.feed(s)
+        self.close()
+
+    def _abs_offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    def handle_starttag(self, tag, attrs):
+        if tag in RESOURCE_TAGS:
+            src = _resource_src(tag, attrs)
+            if src is not None:
+                raw = self.get_starttag_text() or ""
+                self.found.append((tag, src, self._abs_offset(), raw))
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+
+def extract_resources_raw(html: bytes) -> list[tuple[str, str, int]]:
+    """Raw-layer extraction: (tag, src, pos) in document order, externals
+    kept — ref: pkg/htmlparser/parser.go:20-39 (the parser layer does no
+    host filtering, pinned by pkg/htmlparser/parser_test.go:56-59)."""
+    if not html:
+        return []
+    p = _CollectParser()
+    p.feed_text(html.decode("latin-1"))
+    return [(t, s, i) for i, (t, s, _, _) in enumerate(p.found)]
+
+
+def resolve_links_and_assets(page_url: str, html: bytes) -> list[tuple[str, str, int]]:
+    """Resolved-layer extraction: canonicalize + same-host filter + classify.
+
+    Returns (kind, url, pos) with kind in {page, asset}; pos is the raw
+    document position (link_pos in the canonical order key).
+    ref: internal/pageparser.go:28-68 (fragment strip :39, absolutize :42,
+    same-host :45-47, a→Link else asset :49-64). The inner re-check for
+    external ``a`` at pageparser.go:50-53 is dead code (always false after
+    the outer filter) and is intentionally not reproduced.
+    """
+    page_host = host_of(page_url)
+    out: list[tuple[str, str, int]] = []
+    for tag, src, pos in extract_resources_raw(html):
+        resolved = canonicalize(page_url, src)
+        if resolved is None:
+            continue
+        if host_of(resolved) != page_host:
+            continue
+        kind = "page" if tag == "a" else "asset"
+        out.append((kind, resolved, pos))
+    return out
+
+
+class _TextParser(HTMLParser):
+    _SKIP = {"script", "style"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data.strip():
+            self.chunks.append(data)
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic text extraction: UTF-8 decode (errors replaced),
+    script/style stripped, entity-decoded, whitespace-normalized. This is
+    the engine's golden ``text`` column — byte-identical per url across
+    runs (input_hint invariant)."""
+    if not html:
+        return ""
+    p = _TextParser()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return " ".join(" ".join(c.split()) for c in p.chunks)
+
+
+# ---------------------------------------------------------------------------
+# rewrite (T1)
+# ---------------------------------------------------------------------------
+
+_ATTR_RE_CACHE: dict[str, re.Pattern] = {}
+
+
+def _attr_value_re(attr: str) -> re.Pattern:
+    if attr not in _ATTR_RE_CACHE:
+        _ATTR_RE_CACHE[attr] = re.compile(
+            r"(?is)(\b%s\s*=\s*)(\"[^\"]*\"|'[^']*'|[^\s>]*)" % re.escape(attr)
+        )
+    return _ATTR_RE_CACHE[attr]
+
+
+_WRITE_ATTR = {"script": "src", "img": "src", "link": "href", "a": "href"}
+
+
+def rewrite_html(html: bytes, page_url: str) -> bytes:
+    """Rewrite same-host resource URLs to relative local paths, in place.
+
+    For each resource that survives canonicalize+same-host (exactly the set
+    resolveLinksAndAssets returns): assets → makeRelativeURL(page_path,
+    asset_save_path) (ref: internal/models.go:92-95), links →
+    makeRelativeURL(page_path, resolveLocalSavePath(url, "", "html"))
+    (ref: internal/models.go:96-99). Attribute written per WriteResourceURL
+    dispatch (pkg/htmlparser/parser.go:67-80); attribute must already exist
+    (parser.go:110-118 only overwrites, never inserts).
+
+    Every byte outside the rewritten attribute values is preserved.
+    """
+    if not html:
+        return html
+    s = html.decode("latin-1")
+    p = _CollectParser()
+    p.feed_text(s)
+    page_host = host_of(page_url)
+    page_path = page_save_path(page_url)
+
+    edits: list[tuple[int, int, str]] = []  # (start, end, replacement) over raw tag span
+    for tag, src, off, raw in p.found:
+        resolved = canonicalize(page_url, src)
+        if resolved is None or host_of(resolved) != page_host:
+            continue
+        if tag == "a":
+            local = link_target_save_path(resolved)
+        else:
+            local = asset_save_path(resolved)
+        new_url = make_relative_url(page_path, local)
+        attr = _WRITE_ATTR[tag]
+        m = _attr_value_re(attr).search(raw)
+        if not m:
+            continue
+        old_val = m.group(2)
+        if old_val.startswith(("\"", "'")):
+            new_val = old_val[0] + new_url + old_val[0]
+        else:
+            new_val = new_url
+        start = off + m.start(2)
+        end = off + m.end(2)
+        edits.append((start, end, new_val))
+
+    if not edits:
+        return html
+    out: list[str] = []
+    cursor = 0
+    for start, end, repl in sorted(edits):
+        if start < cursor:  # overlapping duplicate attr matches: keep first
+            continue
+        out.append(s[cursor:start])
+        out.append(repl)
+        cursor = end
+    out.append(s[cursor:])
+    return "".join(out).encode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# vectorized pandas UDFs
+# ---------------------------------------------------------------------------
+
+EXTRACT_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("url", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+RAW_EXTRACT_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("tag", StringType()),
+            StructField("src", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_resolved_udf(page_url: pd.Series, html: pd.Series) -> pd.Series:
+    """P1+P2+P3+P4+P5+P6 fused in one Arrow batch pass: html bytes →
+    resolved same-host children [(kind, url, pos)]. An empty/missing body
+    parses to zero children — a skipped-download page still flows
+    (ref: cmd/crawler/main.go:158-163, SURVEY §3.2)."""
+    return pd.Series(
+        [
+            resolve_links_and_assets(u, h) if (h is not None and u is not None) else []
+            for u, h in zip(page_url, html)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(RAW_EXTRACT_SCHEMA)
+def extract_raw_udf(html: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_resources_raw(h) if h is not None else [] for h in html],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_text(h) if h is not None else "" for h in html], dtype=object
+    )
+
+
+@pandas_udf(BinaryType())
+def rewrite_html_udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            rewrite_html(h, u) if (h is not None and u is not None) else h
+            for h, u in zip(html, page_url)
+        ],
+        dtype=object,
+    )

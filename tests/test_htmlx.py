@@ -1,0 +1,155 @@
+"""Golden-fixture tests for the HTML extraction / text / rewrite functions.
+
+Ports the reference's assertions (internal/pageparser_test.go:9-90 and
+pkg/htmlparser/parser_test.go:10-65) against our own fixture
+(tests/testdata/fixture1.html) which embeds the same assertion-relevant
+URLs. Note the reference test at pageparser_test.go:50 has a bug
+(`gotLinks = append(gotAssets, ...)`); we test the *intended* semantics.
+"""
+
+import os
+
+import pytest
+
+from go_crawler_spark.functions.htmlx import (
+    extract_resources_raw,
+    extract_text,
+    resolve_links_and_assets,
+    rewrite_html,
+)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+PAGE = "https://www.sheldonbrown.com/web_sample1.html"
+
+
+@pytest.fixture(scope="module")
+def html() -> bytes:
+    with open(os.path.join(HERE, "testdata", "fixture1.html"), "rb") as f:
+        return f.read()
+
+
+class TestRawLayer:
+    """pkg/htmlparser/parser_test.go — raw layer keeps externals, returns
+    attribute values verbatim."""
+
+    def test_raw_extraction(self, html):
+        res = extract_resources_raw(html)
+        by_tag: dict[str, list[str]] = {}
+        for tag, src, _pos in res:
+            by_tag.setdefault(tag, []).append(src)
+
+        for want in [
+            "https://www.sheldonbrown.com/index.html",
+            "web_glossary.html#browser",
+            "web_sample1.html#href2",
+        ]:
+            assert want in by_tag["a"]
+        for want in [
+            "https://www.sheldonbrown.com/common-data/document.css",
+            "https://www.sheldonbrown.com/common-data/screen.css",
+            "https://www.sheldonbrown.com/common-data/print.css",
+        ]:
+            assert want in by_tag["link"]
+        # externals ARE present at the raw layer (parser_test.go:56-59)
+        for want in [
+            "https://www.googletagmanager.com/gtag/js?id=G-YRNYST4RX7",
+            "http://pagead2.googlesyndication.com/pagead/show_ads.js",
+        ]:
+            assert want in by_tag["script"]
+        assert "https://www.sheldonbrown.com/images/scb_eagle_contact.jpeg" in by_tag["img"]
+
+    def test_link_rel_dispatch(self, html):
+        # link without stylesheet rel/type is NOT collected (parser.go:52-57)
+        srcs = [s for t, s, _ in extract_resources_raw(html) if t == "link"]
+        assert "https://www.sheldonbrown.com/favicon.ico" not in srcs
+
+    def test_inline_script_not_scanned(self, html):
+        srcs = [s for _, s, _ in extract_resources_raw(html)]
+        assert not any("should_not_appear" in s for s in srcs)
+
+    def test_document_order(self, html):
+        res = extract_resources_raw(html)
+        assert [p for _, _, p in res] == list(range(len(res)))
+
+    def test_empty(self):
+        assert extract_resources_raw(b"") == []
+
+
+class TestResolvedLayer:
+    """internal/pageparser_test.go — same-host only, fragment-stripped,
+    absolutized, querystrings preserved."""
+
+    def test_links(self, html):
+        res = resolve_links_and_assets(PAGE, html)
+        links = [u for k, u, _ in res if k == "page"]
+        for want in [
+            "https://www.sheldonbrown.com/index.html",
+            "https://www.sheldonbrown.com/web_glossary.html",
+            "https://www.sheldonbrown.com/web_sample1.html",
+        ]:
+            assert want in links
+        for bad in [
+            "https://www.external.com/1.html",
+            "https://www.google.com/",
+            "https://www.ya.ru/some_path",
+        ]:
+            assert bad not in links
+
+    def test_assets(self, html):
+        res = resolve_links_and_assets(PAGE, html)
+        assets = [u for k, u, _ in res if k == "asset"]
+        for want in [
+            "https://www.sheldonbrown.com/common-data/document.css",
+            "https://www.sheldonbrown.com/common-data/screen.css",
+            "https://www.sheldonbrown.com/common-data/print.css",
+            "https://www.sheldonbrown.com/common-data/added.js?someAttr=true",
+            "https://www.sheldonbrown.com/common-data/added2.js",
+            "https://www.sheldonbrown.com/images/scb_eagle_contact.jpeg",
+        ]:
+            assert want in assets
+        for bad in [
+            "https://www.external.com/1.css",
+            "https://www.external.com/1.js",
+            "https://www.external.com/1.jpg",
+            "https://www.googletagmanager.com/gtag/js?id=G-YRNYST4RX7",
+            "http://pagead2.googlesyndication.com/pagead/show_ads.js",
+        ]:
+            assert bad not in assets
+
+
+class TestText:
+    def test_deterministic(self, html):
+        t1, t2 = extract_text(html), extract_text(html)
+        assert t1 == t2
+        assert "Golden fixture" in t1
+        assert "Entity & text survives as plain text." in t1
+
+    def test_scripts_excluded(self, html):
+        assert "should_not_appear" not in extract_text(html)
+
+    def test_empty(self):
+        assert extract_text(b"") == ""
+
+
+class TestRewrite:
+    def test_rewrites_internal_only(self, html):
+        out = rewrite_html(html, PAGE)
+        s = out.decode("utf-8")
+        # internal asset → relative local path (models.go:92-95)
+        assert 'href="./common-data/screen.css"' in s
+        # internal link → local ".html" target (models.go:96-99)
+        assert 'href="./web_glossary.html.html"' in s
+        # externals untouched
+        assert 'src="https://www.external.com/1.js"' in s
+        assert 'href="https://www.google.com/"' in s
+
+    def test_bytes_outside_attrs_preserved(self, html):
+        out = rewrite_html(html, PAGE)
+        assert b"Entity &amp; text survives" in out
+        assert b"<title>Engine golden fixture one</title>" in out
+
+    def test_pure_function(self, html):
+        assert rewrite_html(html, PAGE) == rewrite_html(html, PAGE)
+
+    def test_empty(self):
+        assert rewrite_html(b"", PAGE) == b""
