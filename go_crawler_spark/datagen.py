@@ -1,0 +1,200 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Produces the exact ``input_hint`` table shape
+``pages(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+whose html embeds a *known* link graph (FIXTURES.md §1): internal links in
+relative/absolute/fragment/querystring forms, internal css/js/img assets
+(some shared per host for dedup), external noise that must be filtered,
+dead links (skipped-download path), and mixed-case tags like the
+reference's golden fixture. One heavy host exercises skew salting.
+
+Everything is a pure function of ``(seed, page index, n_pages)`` — no
+wall-clock, no randomness outside ``random.Random(seed ^ i)`` — so the
+pure-Python simulator can reconstruct the identical universe without Spark,
+and generation distributes over executors via ``mapInPandas`` on
+``spark.range`` (scales to any corpus size; nothing is built on the driver).
+
+``text`` is computed at generation time with the engine's own
+``extract_text`` so the "byte-identical extracted text per url" invariant
+(input_hint) is checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from go_crawler_spark.functions.htmlx import extract_text
+
+# host cycle with deliberate skew: big.example.com owns 50% of all pages
+HOSTS: tuple[str, ...] = (
+    "big.example.com",
+    "big.example.com",
+    "big.example.com",
+    "big.example.com",
+    "alpha.example.org",
+    "beta.example.org",
+    "gamma.example.net",
+    "delta.example.net",
+)
+L = len(HOSTS)
+LANGS = ("en", "de", "fr", "es", "zh")
+EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def host_of_index(i: int) -> str:
+    return HOSTS[i % L]
+
+
+def page_url(i: int) -> str:
+    return f"https://{host_of_index(i)}/p{i}.html"
+
+
+def asset_urls_of_index(i: int) -> List[str]:
+    """Asset URLs referenced by page i (same-host only; resolved form)."""
+    h = host_of_index(i)
+    out = [
+        f"https://{h}/common/site.css",          # shared per host → heavy dedup
+        f"https://{h}/common/app.js?v=1",        # querystring survives (pageparser_test.go:66-71)
+        f"https://{h}/img/p{i}.jpg",             # unique per page
+    ]
+    return out
+
+
+def link_targets_of_index(i: int, n_pages: int, seed: int) -> List[int]:
+    """Deterministic same-host out-links: strided neighbors i + m*L."""
+    rng = random.Random((seed << 20) ^ i)
+    k = 2 + rng.randrange(3)  # 2..4 out-links
+    out = []
+    for m in range(1, k + 1):
+        t = i + m * L
+        if t < n_pages:
+            out.append(t)
+    if i - L >= 0:
+        out.append(i - L)  # back-link → already-seen URL (dedup exercise)
+    return out
+
+
+def page_html(i: int, n_pages: int, seed: int) -> bytes:
+    h = host_of_index(i)
+    rng = random.Random((seed << 21) ^ i)
+    targets = link_targets_of_index(i, n_pages, seed)
+
+    links = []
+    for m, t in enumerate(targets):
+        if m % 2 == 0:
+            # relative form with fragment — must absolutize + strip
+            links.append(f'<a href="p{t}.html#sec{m}">rel link {t}</a>')
+        else:
+            links.append(f'<A HREF="https://{h}/p{t}.html">abs link {t}</A>')
+    # self-link with bare fragment (resolves to the page itself)
+    links.append('<a href="#top">top</a>')
+    if i % 3 == 0:
+        links.append(f'<a href="/dead{i}.html">dead link</a>')  # not in corpus
+    links.append(f'<a href="https://ads.external.net/track?x={i}">external</a>')
+
+    css, js, img = asset_urls_of_index(i)
+    assets = [
+        f'<link rel="stylesheet" type="text/css" href="/common/site.css"/>',
+        f'<script src="{js}"></script>',
+        f'<IMG SRC="/img/p{i}.jpg">',
+        '<script src="https://cdn.external.net/lib.js"></script>',
+        '<link rel="icon" href="/favicon.ico"/>',  # non-stylesheet link: ignored
+    ]
+
+    words = " ".join(
+        f"word{rng.randrange(1000)}" for _ in range(20 + rng.randrange(30))
+    )
+    body = f"""<!DOCTYPE html>
+<html>
+<head>
+  <title>Page {i} on {h}</title>
+  {assets[0]}
+  {assets[1]}
+  {assets[3]}
+  {assets[4]}
+</head>
+<BODY>
+  <h1>Synthetic page {i}</h1>
+  {assets[2]}
+  <p>{words}</p>
+  <ul>
+    {"".join(f"<li>{a}</li>" for a in links)}
+  </ul>
+  <script>var inline_{i} = "never scanned";</script>
+</BODY>
+</html>"""
+    return body.encode("utf-8")
+
+
+def asset_content(url: str) -> bytes:
+    """Deterministic fake asset bytes (css/js/img are opaque payloads)."""
+    return (f"/* asset body of {url} */" + "x" * (len(url) % 64)).encode("utf-8")
+
+
+def corpus_row(i: int, n_pages: int, seed: int) -> Tuple[str, dt.datetime, bytes, str, str]:
+    html = page_html(i, n_pages, seed)
+    return (
+        page_url(i),
+        EPOCH + dt.timedelta(seconds=i),
+        html,
+        extract_text(html),
+        LANGS[i % len(LANGS)],
+    )
+
+
+def all_asset_urls(n_pages: int) -> List[str]:
+    urls: set[str] = set()
+    for i in range(n_pages):
+        urls.update(asset_urls_of_index(i))
+    return sorted(urls)
+
+
+def generate_pages_df(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+    """Distributed corpus: page rows + asset rows (assets are fetchable
+    members of the corpus with empty text). No driver-side materialization."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [corpus_row(int(i), n_pages, seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    pages = spark.range(n_pages).mapInPandas(gen, PAGES_SCHEMA)
+
+    asset_rows = [
+        (u, EPOCH, asset_content(u), "", "") for u in all_asset_urls(n_pages)
+    ]
+    assets = spark.createDataFrame(asset_rows, PAGES_SCHEMA)
+    return pages.unionByName(assets)
+
+
+def generate_corpus_dict(n_pages: int, seed: int = 42) -> dict[str, bytes]:
+    """The same universe as a url→html dict for the pure-Python simulator."""
+    d = {page_url(i): page_html(i, n_pages, seed) for i in range(n_pages)}
+    for u in all_asset_urls(n_pages):
+        d[u] = asset_content(u)
+    return d
+
+
+def default_seeds(n_seeds: int = 4) -> List[str]:
+    """One seed per distinct host (first page of each), plus a dead seed —
+    FIXTURES.md §2 requires a dead seed to exercise row-preserving skip."""
+    seeds = []
+    seen_hosts: set[str] = set()
+    i = 0
+    while len(seen_hosts) < min(n_seeds, len(set(HOSTS))):
+        h = host_of_index(i)
+        if h not in seen_hosts:
+            seen_hosts.add(h)
+            seeds.append(page_url(i))
+        i += 1
+    seeds.append("https://big.example.com/deadseed.html")
+    return seeds

@@ -1,0 +1,144 @@
+"""URL-seen deduplication (Q1) — anti-join + bloom pre-filter.
+
+Reference semantics: first-writer-wins on the exact canonical URL string in
+a global mutex-guarded hash set (internal/queue.go:88-96). That hash set is
+the reference's single-process scalability ceiling; here it becomes:
+
+1. within-round first-occurrence dedup: ``row_number`` over
+   ``partitionBy(url)`` in canonical discovery order — first writer wins,
+   parallel, shuffles once on url;
+2. cross-round dedup: ``left_anti`` join against the accumulated ``seen``
+   table, both sides hash-partitioned on ``url_hash`` (xxhash64);
+3. [EXTENSION, north rule] a partitioned bloom filter built per partition
+   of ``seen`` in an Arrow batch pass and OR-merged on the driver, then
+   broadcast — prunes the anti-join's probe side before the shuffle. The
+   bloom is advisory only: false positives are re-checked by the exact
+   anti-join, so no URL is ever lost (bloom prunes, anti-join confirms).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+
+def first_writer_dedup(df: DataFrame, key: str, order_cols: Sequence[str]) -> DataFrame:
+    """Keep the first row per ``key`` in the total order ``order_cols``
+    (ref: queue.go:92-96 — Push returns false for later writers)."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "url") -> DataFrame:
+    """Exact cross-round dedup (ref: queue.go:92-96)."""
+    return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# bloom filter [EXTENSION]
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Plain numpy bloom over 64-bit hashes; k derived double-hashes from
+    the two xxhash64 values Spark computes JVM-side (no Python hashing of
+    URL strings — only ints cross into Python)."""
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: Optional[np.ndarray] = None):
+        self.n_bits = int(n_bits)
+        self.n_hashes = int(n_hashes)
+        self.bits = bits if bits is not None else np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> Iterator[np.ndarray]:
+        # double hashing: pos_i = (h1 + i*h2) mod n_bits, vectorized
+        h1 = h1.astype(np.uint64)
+        h2 = h2.astype(np.uint64)
+        for i in range(self.n_hashes):
+            yield ((h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)).astype(np.uint64)
+
+    def add_many(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        for pos in self._positions(h1, h2):
+            np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def might_contain(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        out = np.ones(len(h1), dtype=bool)
+        for pos in self._positions(h1, h2):
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        return BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
+
+
+def _with_hashes(df: DataFrame, key: str) -> DataFrame:
+    return df.withColumn("_h1", F.xxhash64(F.col(key))).withColumn(
+        "_h2", F.xxhash64(F.col(key), F.lit(0x9E3779B9))
+    )
+
+
+def build_bloom(seen: DataFrame, key: str, n_bits: int, n_hashes: int) -> BloomFilter:
+    """Build per partition in Arrow batches, OR-merge on the driver —
+    one pass over ``seen``, driver receives one bitset per partition."""
+    hashed = _with_hashes(seen, key).select("_h1", "_h2")
+
+    def per_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(n_bits, n_hashes)
+        any_rows = False
+        for pdf in it:
+            if len(pdf):
+                any_rows = True
+                bf.add_many(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
+        if any_rows:
+            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    parts = hashed.mapInPandas(per_partition, "bits binary").collect()
+    merged = BloomFilter(n_bits, n_hashes)
+    for row in parts:
+        merged = merged.merge(
+            BloomFilter(n_bits, n_hashes, np.frombuffer(row["bits"], dtype=np.uint64).copy())
+        )
+    return merged
+
+
+def bloom_prefilter(candidates: DataFrame, bloom: BloomFilter, key: str) -> DataFrame:
+    """Split candidates into (definitely-new, maybe-seen): rows whose hashes
+    miss the bloom cannot be in ``seen`` and skip the anti-join shuffle."""
+    spark = candidates.sparkSession
+    b = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits))
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        n_bits, n_hashes, bits = b.value
+        bf = BloomFilter(n_bits, n_hashes, bits)
+        return pd.Series(bf.might_contain(h1.to_numpy(), h2.to_numpy()))
+
+    hashed = _with_hashes(candidates, key).withColumn("_maybe", maybe_seen("_h1", "_h2"))
+    return hashed
+
+
+def dedup_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str = "url",
+    bloom: Optional[BloomFilter] = None,
+) -> DataFrame:
+    """Full Q1 cross-round path: optional bloom prune, exact anti-join
+    confirm, union of definite-new and confirmed-new."""
+    if bloom is None:
+        return anti_join_seen(candidates, seen, key)
+    hashed = bloom_prefilter(candidates, bloom, key)
+    definitely_new = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+    maybe = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+    confirmed_new = anti_join_seen(maybe, seen, key)
+    return definitely_new.unionByName(confirmed_new)

@@ -1,0 +1,81 @@
+"""Per-host politeness slots + robots rules [EXTENSION — north rule].
+
+The reference crawls a single host with no politeness (its Semaphore at
+pkg/semaphore/semaphore.go:1-15 is defined but never used); the north rule
+mandates per-host politeness buckets and robots.txt enforcement with skew
+handled explicitly. Semantics (ours, documented, simulator-verified):
+
+- per round, at most ``slots`` frontier items per canonical host are
+  fetched, chosen in canonical ``seq`` order; the rest roll over to the
+  next round keeping their seq (politeness delay quantized to rounds);
+- robots: a ``(host, disallow_prefix)`` rules table; any frontier URL whose
+  path starts with a disallowed prefix for its host is dropped with status
+  'skipped_robots' (it stays in ``seen`` — it was enqueued already).
+
+Skew: a simple ``row_number() over (partition by host order by seq)`` sends
+every URL of a mega-host through one task. The salted two-phase variant
+first ranks within (host, salt) — fanning a hot host across ``n_salts``
+tasks and discarding all but ``slots`` rows per salt — then ranks the
+survivors within host. Phase 2 sees at most ``slots * n_salts`` rows per
+host regardless of host size, so the skewed window is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def assign_fetch_slots(
+    frontier: DataFrame,
+    slots_per_host: int,
+    n_salts: int = 8,
+    host_col: str = "host",
+    order_col: str = "seq",
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (fetch_now, deferred) under per-host slots.
+
+    ``slots_per_host <= 0`` disables politeness (everything fetches now).
+    Deterministic: ``order_col`` is a total order, and the salt is a pure
+    function of the URL (xxhash64 % n_salts), not a random number.
+    """
+    if slots_per_host <= 0:
+        return frontier, frontier.limit(0)
+
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(order_col)
+    phase1 = salted.withColumn("_r1", F.row_number().over(w1))
+    survivors = phase1.filter(F.col("_r1") <= slots_per_host)
+
+    w2 = Window.partitionBy(host_col).orderBy(order_col)
+    phase2 = survivors.withColumn("_r2", F.row_number().over(w2))
+    fetch_now = phase2.filter(F.col("_r2") <= slots_per_host).drop("_salt", "_r1", "_r2")
+    deferred = frontier.join(fetch_now.select("url"), on="url", how="left_anti")
+    return fetch_now, deferred
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame, host_col: str = "host") -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (allowed, blocked) by disallow-prefix rules.
+
+    ``robots(host, disallow_prefix)`` is a small dimension table →
+    broadcast join; path prefix matched against the URL path after the
+    host. A URL is blocked if ANY rule of its host matches.
+    """
+    rules = F.broadcast(
+        robots.select(F.col("host").alias(host_col), "disallow_prefix").distinct()
+    )
+    path_expr = F.parse_url(F.col("url"), F.lit("PATH"))
+    joined = (
+        frontier.withColumn("_path", path_expr)
+        .join(rules, on=host_col, how="left")
+        .withColumn(
+            "_blocked",
+            F.col("disallow_prefix").isNotNull()
+            & F.col("_path").startswith(F.col("disallow_prefix")),
+        )
+    )
+    verdict = joined.groupBy(*frontier.columns).agg(F.max("_blocked").alias("_any_blocked"))
+    allowed = verdict.filter(~F.coalesce(F.col("_any_blocked"), F.lit(False))).drop("_any_blocked")
+    blocked = verdict.filter(F.coalesce(F.col("_any_blocked"), F.lit(False))).drop("_any_blocked")
+    return allowed, blocked

@@ -1,0 +1,65 @@
+"""Scalable deterministic global sequence assignment.
+
+The reference's frontier is FIFO with a single dispatcher thread
+(internal/queue.go:35-72), so every item has an implicit global arrival
+index. Reproducing a *contiguous* global index in a distributed engine with
+a single-partition ``row_number()`` window would serialize the whole round
+through one task — unacceptable at 10^10-URL scale.
+
+Instead: range-partition by the (total) order key, count rows per
+partition, compute partition offsets on the driver (tiny — one int per
+partition), then add local ranks inside each partition with ``mapInPandas``.
+Two passes over the data, no global shuffle to one task.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    start: int = 0,
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign ``out_col`` = start, start+1, ... in the total order given by
+    ``order_cols`` (which must be a total order — no ties), without a
+    single-partition window.
+    """
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+    schema = StructType(parted.schema.fields + [StructField(out_col, LongType(), False)])
+
+    # pass 1: per-partition counts → driver-side offsets (one long per partition)
+    counts_df = parted.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count()
+    counts = {r["_pid"]: r["count"] for r in counts_df.collect()}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    # pass 2: local cumulative index + broadcast offset (Arrow batches)
+    def add_seq(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        local = b_offsets.value.get(pid, 0)
+        for pdf in pdf_iter:
+            k = len(pdf)
+            pdf = pdf.copy()
+            pdf[out_col] = range(local, local + k)
+            local += k
+            yield pdf
+
+    return parted.mapInPandas(add_seq, schema)

@@ -1,0 +1,153 @@
+"""Pure-Python reference simulator of the Go crawler's queue semantics.
+
+This is the executable oracle (SURVEY §5b): it implements, sequentially and
+obviously, exactly the semantics of the reference's queue + pipeline —
+
+- Q1 URL-seen dedup, first-writer-wins, seen-insert BEFORE budget check
+  (internal/queue.go:88-114: a budget-refused page stays seen forever)
+- Q2 page budget counting pages only, seed included (queue.go:101-106)
+- Q3 FIFO order — canonical key (depth, parent_seq, link_pos), equal to the
+  reference's push order under sequential parsing (SURVEY §7)
+- Q4 termination when the frontier drains
+- S2/S3 fetch as corpus lookup + size gate (cmd/crawler/main.go:311-343),
+  row-preserving skip on miss (main.go:158-163)
+- parse via the engine's own resolve_links_and_assets (assets skip parse,
+  main.go:207)
+- [EXTENSION] depth limit (children beyond max_depth are never pushed),
+  per-host politeness slots per round, robots disallow prefixes — the
+  north-rule semantics the engine must match under the same config.
+
+The Spark engine must reproduce this simulator's schedule (url, kind,
+depth, seq, fetch round), statuses, and final seen set bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from go_crawler_spark.config import CrawlConfig
+from go_crawler_spark.functions.htmlx import resolve_links_and_assets
+from go_crawler_spark.functions.urls import registrable_host, host_of
+from urllib.parse import urlsplit
+
+
+@dataclass
+class SimItem:
+    url: str
+    kind: str       # 'page' | 'asset'
+    depth: int
+    seq: int
+    host: str
+    fetch_round: int = -1
+    status: str = ""
+    size: int = 0
+
+
+@dataclass
+class SimResult:
+    schedule: List[SimItem] = field(default_factory=list)  # enqueued items, seq order
+    seen: set = field(default_factory=set)
+    metrics: List[dict] = field(default_factory=list)      # one dict per round
+
+
+def simulate(
+    corpus: Dict[str, bytes],
+    seeds: List[str],
+    cfg: CrawlConfig,
+    robots: Optional[List[Tuple[str, str]]] = None,  # (host, disallow_prefix)
+) -> SimResult:
+    res = SimResult()
+    rules: Dict[str, List[str]] = {}
+    for h, p in robots or []:
+        rules.setdefault(h, []).append(p)
+
+    seq_counter = 0
+    pages_enqueued = 0
+    frontier: List[SimItem] = []
+
+    def push(url: str, kind: str, depth: int) -> None:
+        """ref: queue.go:88-114 — dedup, seen insert, then budget."""
+        nonlocal seq_counter, pages_enqueued
+        if url in res.seen:
+            return
+        res.seen.add(url)
+        if kind == "page":
+            if pages_enqueued >= cfg.max_count:
+                return  # refused but permanently seen (queue.go:92-106)
+            pages_enqueued += 1
+        item = SimItem(url, kind, depth, seq_counter, registrable_host(url))
+        seq_counter += 1
+        frontier.append(item)
+        res.schedule.append(item)
+
+    for s in seeds:
+        push(s, "page", 0)
+
+    rnd = 0
+    while frontier:
+        frontier.sort(key=lambda it: it.seq)
+
+        # robots [EXTENSION]: blocked items leave the frontier without a slot
+        allowed: List[SimItem] = []
+        for it in frontier:
+            path = urlsplit(it.url).path
+            if any(path.startswith(p) for p in rules.get(it.host, [])):
+                it.status, it.fetch_round = "skipped_robots", rnd
+            else:
+                allowed.append(it)
+
+        # politeness [EXTENSION]: first `slots` per host by seq
+        if cfg.host_slots_per_round > 0:
+            taken: Dict[str, int] = {}
+            fetch_now, deferred = [], []
+            for it in allowed:
+                if taken.get(it.host, 0) < cfg.host_slots_per_round:
+                    taken[it.host] = taken.get(it.host, 0) + 1
+                    fetch_now.append(it)
+                else:
+                    deferred.append(it)
+        else:
+            fetch_now, deferred = allowed, []
+
+        m = dict(round=rnd, pages_crawled=0, pages_failed=0,
+                 links_discovered=0, assets_found=0, bytes_downloaded=0)
+
+        children_batch: List[Tuple[int, int, str, str, int]] = []
+        for it in fetch_now:
+            it.fetch_round = rnd
+            html = corpus.get(it.url)
+            if html is None or len(html) > cfg.max_file_size:
+                it.status = "skipped_download"
+                html = None
+                m["pages_failed"] += 1 if it.kind == "page" else 0
+            else:
+                it.status = "ok"
+                it.size = len(html)
+                m["bytes_downloaded"] += len(html)
+                if it.kind == "page":
+                    m["pages_crawled"] += 1
+            # parse: pages only (main.go:207); skipped page ⇒ zero children
+            if it.kind == "page" and html is not None:
+                for kind, url, pos in resolve_links_and_assets(it.url, html):
+                    if kind == "page":
+                        m["links_discovered"] += 1
+                    else:
+                        m["assets_found"] += 1
+                    children_batch.append((it.seq, pos, kind, url, it.depth + 1))
+
+        # enqueue children in canonical (parent_seq, link_pos) order
+        for parent_seq, pos, kind, url, depth in sorted(children_batch):
+            if depth > cfg.max_depth:
+                continue  # [EXTENSION] never pushed, never seen
+            push(url, kind, depth)
+
+        res.metrics.append(m)
+        # next frontier = deferred + new arrivals: exactly the scheduled
+        # items not yet fetched/blocked (deferred kept their seq)
+        frontier = [it for it in res.schedule if it.fetch_round < 0 and it.status == ""]
+        rnd += 1
+        if rnd > 10_000:
+            raise RuntimeError("simulator did not terminate")
+
+    return res

@@ -1,0 +1,135 @@
+"""Engine vs pure-Python reference simulator (SURVEY §5b).
+
+The Spark crawl must reproduce the simulator's schedule (url, kind, depth,
+seq), fetch rounds + statuses, final URL-seen set, and per-round metrics
+bit-for-bit under the same seed list / budget / depth limit / politeness
+budget / robots rules — the north-rule correctness criterion.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_crawler_spark.config import CrawlConfig
+from go_crawler_spark.datagen import default_seeds, generate_corpus_dict, generate_pages_df
+from go_crawler_spark.plans.crawl import run_crawl
+from go_crawler_spark.simulator import simulate
+
+N_PAGES = 48
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus_dict(N_PAGES, SEED)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    df = generate_pages_df(spark, N_PAGES, SEED)
+    df.cache().count()
+    return df
+
+
+def _engine_tables(spark, pages_df, cfg, robots_rules=None, seeds=None):
+    robots_df = None
+    if robots_rules:
+        robots_df = spark.createDataFrame(
+            robots_rules, "host string, disallow_prefix string"
+        )
+    res = run_crawl(spark, pages_df, seeds or default_seeds(), cfg, robots=robots_df)
+    sched = {
+        (r["url"], r["kind"], r["depth"], r["seq"])
+        for r in res.schedule.collect()
+    }
+    fetched = {
+        (r["url"], r["round"], r["status"]) for r in res.fetched.collect()
+    }
+    seen = {r["url"] for r in res.seen.collect()}
+    metrics = {
+        (r["round"], r["pages_crawled"], r["pages_failed"], r["links_discovered"],
+         r["assets_found"], r["bytes_downloaded"])
+        for r in res.metrics.collect()
+    }
+    return sched, fetched, seen, metrics, res
+
+
+def _sim_tables(corpus, cfg, robots_rules=None, seeds=None):
+    sim = simulate(corpus, seeds or default_seeds(), cfg, robots=robots_rules)
+    sched = {(it.url, it.kind, it.depth, it.seq) for it in sim.schedule}
+    fetched = {
+        (it.url, it.fetch_round, it.status)
+        for it in sim.schedule
+        if it.fetch_round >= 0
+    }
+    metrics = {
+        (m["round"], m["pages_crawled"], m["pages_failed"], m["links_discovered"],
+         m["assets_found"], m["bytes_downloaded"])
+        for m in sim.metrics
+    }
+    return sched, fetched, sim.seen, metrics
+
+
+def _assert_match(spark, pages_df, corpus, cfg, robots=None, seeds=None):
+    e_sched, e_fetched, e_seen, e_metrics, _ = _engine_tables(
+        spark, pages_df, cfg, robots, seeds
+    )
+    s_sched, s_fetched, s_seen, s_metrics = _sim_tables(corpus, cfg, robots, seeds)
+    assert e_sched == s_sched
+    assert e_fetched == s_fetched
+    assert e_seen == s_seen
+    assert e_metrics == s_metrics
+
+
+def test_basic_bfs(spark, pages_df, corpus):
+    cfg = CrawlConfig(max_count=40, use_bloom=True)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_tight_budget(spark, pages_df, corpus):
+    """Q2: refused pages stay seen forever (queue.go:92-106)."""
+    cfg = CrawlConfig(max_count=5)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_depth_limit(spark, pages_df, corpus):
+    cfg = CrawlConfig(max_count=100, max_depth=1)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_politeness_slots(spark, pages_df, corpus):
+    cfg = CrawlConfig(max_count=40, host_slots_per_round=2)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_robots(spark, pages_df, corpus):
+    cfg = CrawlConfig(max_count=40)
+    rules = [("big.example.com", "/img"), ("alpha.example.org", "/common")]
+    _assert_match(spark, pages_df, corpus, cfg, robots=rules)
+
+
+def test_size_gate(spark, pages_df, corpus):
+    """S3: oversized content → skipped_download, row preserved."""
+    cfg = CrawlConfig(max_count=30, max_file_size=900)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_no_bloom_same_result(spark, pages_df, corpus):
+    cfg = CrawlConfig(max_count=40, use_bloom=False)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_text_invariant(spark, pages_df, corpus):
+    """input_hint: byte-identical extracted text per url — engine output
+    text equals the corpus's golden text for every fetched ok page."""
+    from pyspark.sql import functions as F
+    from go_crawler_spark.functions.htmlx import extract_text
+
+    cfg = CrawlConfig(max_count=20)
+    res = run_crawl(spark, pages_df, default_seeds(), cfg)
+    rows = res.pages_out.filter(
+        (F.col("kind") == "page") & (F.col("status") == "ok")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["text"] == extract_text(corpus[r["url"]])
