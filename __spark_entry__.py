@@ -1,38 +1,588 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: the full BFS crawl (frontier → fetch-join →
+              extract → dedup → budget → politeness) over the
+              deterministic synthetic Common-Crawl-style corpus mandated by
+              BASELINE.json input_hint, plus a smoke read of the sf0.001
+              parquet tables.
+``queries`` — one entry per implemented operator family from SURVEY.md §2
+              plus the training-data-pipeline operators; each callable
+              takes (spark, sf_dir).
+``oracle_sql`` — exact DuckDB ANSI-SQL equivalents for every
+              SQL-expressible query (same column names/aliases both
+              sides; floats rounded to 6 dp on both sides). UDF-only and
+              LSH-probabilistic operators are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _crawl_scale(sf_dir: str) -> int:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return {"sf0.001": 48, "sf0.01": 240, "sf0.1": 1200}.get(base, 48)
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full crawl (SURVEY §3.1 lifecycle) on the synthetic corpus;
+    returns the crawl schedule (url, kind, depth, seq, host, enqueue_round)."""
+    from go_crawler_spark.config import CrawlConfig
+    from go_crawler_spark.datagen import default_seeds, generate_pages_df
+    from go_crawler_spark.plans.crawl import run_crawl
 
+    # smoke-touch the sf0.001 tables the driver provisions
+    _t(spark, "/root/testdata/sf0.001", "documents").count()
+
+    pages = generate_pages_df(spark, 48, seed=42)
+    cfg = CrawlConfig(max_count=30, host_slots_per_round=4, use_bloom=True)
+    res = run_crawl(spark, pages, default_seeds(), cfg)
+    return res.schedule.orderBy("seq")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from go_crawler_spark.functions import text as T
+    from go_crawler_spark.operators.dedup_corpus import (
+        cosine_similarity_expr,
+        exact_dedup,
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+    from go_crawler_spark.operators.politeness import assign_fetch_slots
+    from go_crawler_spark.operators.sequence import assign_global_seq
+    from go_crawler_spark.operators.similarity import brute_force_topk, ivf_topk
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- crawl-operator family (SQL-checkable mappings over testdata) ----
 
+    def dedup_exact_keep_min(spark, sf):
+        # Q1 first-writer-wins at corpus scale (exact content dedup)
+        docs = _t(spark, sf, "documents")
+        return exact_dedup(docs, "text", "doc_id").select("doc_id", "fingerprint")
+
+    def seen_anti_join(spark, sf):
+        # Q1 cross-round anti-join: "seen" = every 10th doc
+        docs = _t(spark, sf, "documents")
+        seen = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+        return docs.join(seen, "doc_id", "left_anti").select("doc_id", "source")
+
+    def budget_ordered_limit(spark, sf):
+        # Q2 ordered budget cutoff (distributed top-K)
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(50)
+            .select("doc_id", "n_chars")
+        )
+
+    def fanin_union(spark, sf):
+        # C3 fan-in = unionByName of two branch filters
+        docs = _t(spark, sf, "documents")
+        a = docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 300))
+        b = docs.filter((F.col("lang") == "de") & (F.col("n_chars") > 300))
+        return a.unionByName(b).select("doc_id", "lang")
+
+    def host_group_counts(spark, sf):
+        # politeness host grouping (plain)
+        docs = _t(spark, sf, "documents")
+        return docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+    def salted_group_counts(spark, sf):
+        # skew-defeating two-phase salted aggregation ≡ plain GROUP BY
+        docs = _t(spark, sf, "documents")
+        salted = docs.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+        partial = salted.groupBy("source", "_salt").agg(F.count("*").alias("_c"))
+        return partial.groupBy("source").agg(F.sum("_c").alias("n_docs"))
+
+    def assets_collect_list(spark, sf):
+        # T2 groupBy-collect_list (stringified for stable hashing)
+        docs = _t(spark, sf, "documents")
+        return docs.groupBy("lang").agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("doc_ids"),
+            F.count("*").alias("n_docs"),
+        )
+
+    def savepath_md5(spark, sf):
+        # S5 md5 naming fallback (internal/models.go:208-211)
+        docs = _t(spark, sf, "documents")
+        return docs.filter(F.col("doc_id") < 50).select(
+            "doc_id", F.md5(F.col("text")).alias("text_md5")
+        )
+
+    def metrics_counters(spark, sf):
+        # M1 metrics aggregates over the events stream table
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+
+    def size_gate(spark, sf):
+        # S3 HEAD size gate → status column (row-preserving skip)
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("n_chars") > 400, F.lit("skipped_download"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+
+    def fetch_lookup_join(spark, sf):
+        # S2 fetch = frontier LEFT JOIN corpus; miss ⇔ skipped_download
+        docs = _t(spark, sf, "documents")
+        frontier = spark.range(0, 600, 7).select(F.col("id").alias("doc_id"))
+        corpus = docs.select("doc_id", "n_chars")
+        return frontier.join(corpus, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("n_chars").isNull(), F.lit("skipped_download"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+
+    def classify_kind(spark, sf):
+        # P6 link/asset classification as when/otherwise
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit("page")).otherwise(F.lit("asset")).alias("kind"),
+        )
+
+    def retry_backoff_schedule(spark, sf):
+        # C1 backoff formula (retry.go:48-52), no jitter: delay·f^a capped
+        return spark.range(0, 5).select(
+            F.col("id").alias("attempt"),
+            F.round(
+                F.least(F.lit(3.0), F.lit(1.0) * F.pow(F.lit(2.0), F.col("id"))), 6
+            ).alias("delay_s"),
+        )
+
+    def politeness_topk_per_host(spark, sf):
+        # C4 politeness slots: first 3 per host (salted two-phase window)
+        docs = _t(spark, sf, "documents")
+        frontier = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("source").alias("host"),
+            F.col("doc_id").alias("seq"),
+        )
+        fetch_now, _ = assign_fetch_slots(frontier, slots_per_host=3, n_salts=4)
+        return fetch_now.select(F.col("seq").alias("doc_id"), F.col("host").alias("source"))
+
+    def global_seq_assignment(spark, sf):
+        # Q3 scalable contiguous sequence (two-pass range partition)
+        docs = _t(spark, sf, "documents")
+        return assign_global_seq(
+            docs.select("doc_id"), ["doc_id"], start=0, out_col="seq"
+        ).select("doc_id", "seq")
+
+    # ---- training-data pipeline: text analysis ----
+
+    def token_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+    def quality_scores(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+        )
+
+    def lang_id_pred(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+    def fingerprints(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+    def ngram_jaccard_pairs(spark, sf):
+        # exact token-3-gram Jaccard for all pairs among doc_id < 30
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
+        sh = docs.select(
+            "doc_id",
+            F.array_distinct(T.token_ngrams(F.col("text"), 3)).alias("sh"),
+        )
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return (
+            a.join(b, a["id_a"] < b["id_b"])
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6
+                ).alias("jaccard"),
+            )
+        )
+
+    # ---- training-data pipeline: embeddings ----
+
+    def embedding_topk_bruteforce(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+        top = brute_force_topk(emb, queries_df, k=5)
+        return top.select(
+            "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+        )
+
+    def embedding_pair_sims(spark, sf):
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 15)
+        # compute in float64 on both sides (oracle casts to DOUBLE[] too)
+        vec = F.col("embedding").cast("array<double>")
+        a = emb.select(F.col("vec_id").alias("id_a"), vec.alias("vec_a"))
+        b = emb.select(F.col("vec_id").alias("id_b"), vec.alias("vec_b"))
+        return (
+            a.join(b, a["id_a"] < b["id_b"])
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine_similarity_expr("vec_a", "vec_b"), 6).alias("cosine"),
+            )
+        )
+
+    # ---- TPC-H-style breadth (engine generality: agg + multi-join) ----
+
+    def tpch_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    def revenue_by_priority(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        rev = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+        return rev
+
+    # ---- rows-only (UDF / probabilistic / crawl-native) ----
+
+    def crawl_flagship(spark, sf):
+        from go_crawler_spark.config import CrawlConfig
+        from go_crawler_spark.datagen import default_seeds, generate_pages_df
+        from go_crawler_spark.plans.crawl import run_crawl
+
+        pages = generate_pages_df(spark, _crawl_scale(sf), seed=42)
+        cfg = CrawlConfig(max_count=30, host_slots_per_round=4)
+        return run_crawl(spark, pages, default_seeds(), cfg).schedule.orderBy("seq")
+
+    def crawl_extract_children(spark, sf):
+        from go_crawler_spark.datagen import generate_pages_df
+        from go_crawler_spark.functions.htmlx import extract_resolved_udf
+
+        pages = generate_pages_df(spark, _crawl_scale(sf), seed=42)
+        return (
+            pages.filter(F.col("text") != "")
+            .select("url", F.explode(extract_resolved_udf("url", "html")).alias("c"))
+            .select("url", "c.kind", F.col("c.url").alias("child_url"), "c.pos")
+            .orderBy("url", "pos")
+        )
+
+    def minhash_near_dup_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+
+    def simhash_near_dup_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
+
+    def embedding_ann_ivf(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3)
+
+    def multimodal_features(spark, sf):
+        from go_crawler_spark.operators.multimodal import (
+            extract_features,
+            synthetic_media_df,
+        )
+
+        media = synthetic_media_df(spark, 64, seed=42)
+        feats = extract_features(media)
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+                "feature_l1"
+            ),
+        )
+
+    return {
+        "dedup_exact_keep_min": dedup_exact_keep_min,
+        "seen_anti_join": seen_anti_join,
+        "budget_ordered_limit": budget_ordered_limit,
+        "fanin_union": fanin_union,
+        "host_group_counts": host_group_counts,
+        "salted_group_counts": salted_group_counts,
+        "assets_collect_list": assets_collect_list,
+        "savepath_md5": savepath_md5,
+        "metrics_counters": metrics_counters,
+        "size_gate": size_gate,
+        "fetch_lookup_join": fetch_lookup_join,
+        "classify_kind": classify_kind,
+        "retry_backoff_schedule": retry_backoff_schedule,
+        "politeness_topk_per_host": politeness_topk_per_host,
+        "global_seq_assignment": global_seq_assignment,
+        "token_counts": token_counts,
+        "quality_scores": quality_scores,
+        "lang_id_pred": lang_id_pred,
+        "fingerprints": fingerprints,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "embedding_topk_bruteforce": embedding_topk_bruteforce,
+        "embedding_pair_sims": embedding_pair_sims,
+        "tpch_pricing_summary": tpch_pricing_summary,
+        "revenue_by_priority": revenue_by_priority,
+        "crawl_flagship": crawl_flagship,
+        "crawl_extract_children": crawl_extract_children,
+        "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "simhash_near_dup_pairs": simhash_near_dup_pairs,
+        "embedding_ann_ivf": embedding_ann_ivf,
+        "multimodal_features": multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM_SQL.format(c="text")
+    toks_raw = _TOKS_SQL.format(c="lower(text)")
+    toks_norm = _TOKS_SQL.format(c=norm_text)
+
+    def lang_hits(words: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter({toks_raw}, t -> t in ({lst})))"
+
+    from go_crawler_spark.functions.text import LANG_MARKERS
+
+    en = lang_hits(LANG_MARKERS["en"])
+    de = lang_hits(LANG_MARKERS["de"])
+    fr = lang_hits(LANG_MARKERS["fr"])
+    es = lang_hits(LANG_MARKERS["es"])
+
+    shingles = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks_norm}) - 2, 0)),"
+        f" i -> {toks_norm}[i] || ' ' || {toks_norm}[i+1] || ' ' || {toks_norm}[i+2]))"
+    )
+
+    return {
+        "dedup_exact_keep_min": f"""
+            SELECT min(doc_id) AS doc_id, md5({norm_text}) AS fingerprint
+            FROM documents GROUP BY md5({norm_text})
+        """,
+        "seen_anti_join": """
+            SELECT doc_id, source FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents s WHERE s.doc_id % 10 = 0 AND s.doc_id = d.doc_id)
+        """,
+        "budget_ordered_limit": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 50
+        """,
+        "fanin_union": """
+            SELECT doc_id, lang FROM documents WHERE lang='en' AND n_chars > 300
+            UNION ALL
+            SELECT doc_id, lang FROM documents WHERE lang='de' AND n_chars > 300
+        """,
+        "host_group_counts": """
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        """,
+        "salted_group_counts": """
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        """,
+        "assets_collect_list": """
+            SELECT lang,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "savepath_md5": """
+            SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id < 50
+        """,
+        "metrics_counters": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "size_gate": """
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars > 400 THEN 'skipped_download' ELSE 'ok' END AS status
+            FROM documents
+        """,
+        "fetch_lookup_join": """
+            SELECT f.doc_id AS doc_id,
+                   CASE WHEN d.n_chars IS NULL THEN 'skipped_download' ELSE 'ok' END AS status
+            FROM (SELECT range AS doc_id FROM range(0, 600, 7)) f
+            LEFT JOIN documents d ON f.doc_id = d.doc_id
+        """,
+        "classify_kind": """
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 'page' ELSE 'asset' END AS kind
+            FROM documents
+        """,
+        "retry_backoff_schedule": """
+            SELECT range AS attempt,
+                   round(least(3.0, 1.0 * power(2.0, range)), 6) AS delay_s
+            FROM range(0, 5)
+        """,
+        "politeness_topk_per_host": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 3
+        """,
+        "global_seq_assignment": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS seq
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len({_TOKS_SQL.format(c="text")}) END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id, round(
+              0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                          WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+            + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                     ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END)
+            + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                     ELSE {en} * 1.0 / ntok END), 6) AS quality
+            FROM (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok
+              FROM documents)
+        """,
+        "lang_id_pred": f"""
+            SELECT doc_id,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN h_de = best THEN 'de'
+                        WHEN h_en = best THEN 'en'
+                        WHEN h_es = best THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (
+              SELECT doc_id, h_en, h_de, h_fr, h_es,
+                     greatest(h_en, h_de, h_fr, h_es) AS best
+              FROM (
+                SELECT doc_id, {en} AS h_en, {de} AS h_de,
+                       {fr} AS h_fr, {es} AS h_es
+                FROM documents))
+        """,
+        "fingerprints": f"""
+            SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, {shingles} AS s FROM documents WHERE doc_id < 30
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                         ELSE len(list_intersect(a.s, b.s)) * 1.0
+                              / len(list_distinct(list_concat(a.s, b.s))) END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        """,
+        "embedding_topk_bruteforce": """
+            SELECT query_id, vec_id, round(score, 6) AS score, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.embedding AS DOUBLE[])) DESC,
+                                e.vec_id ASC) AS rank
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+            ) WHERE rank <= 5
+        """,
+        "embedding_pair_sims": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 15 AND b.vec_id < 15
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_orderpriority
+        """,
+    }

@@ -68,16 +68,24 @@ def asset_urls_of_index(i: int) -> List[str]:
 
 
 def link_targets_of_index(i: int, n_pages: int, seed: int) -> List[int]:
-    """Deterministic same-host out-links: strided neighbors i + m*L."""
-    rng = random.Random((seed << 20) ^ i)
-    k = 2 + rng.randrange(3)  # 2..4 out-links
+    """Deterministic same-host out-links (same host ⇔ same index class
+    mod L). Tree-shaped within each host class — class-index k links to
+    class children 3k+1..3k+3 — giving the wide, shallow frontier growth
+    of a real site (BFS depth ≈ log₃ of the host's page count), plus a
+    back-link to the parent (dedup exercise) and one strided neighbor."""
+    k = i // L  # index within the host's page class
+    cls = i % L
     out = []
-    for m in range(1, k + 1):
-        t = i + m * L
+    for c in range(3 * k + 1, 3 * k + 4):  # tree children
+        t = cls + c * L
         if t < n_pages:
             out.append(t)
-    if i - L >= 0:
-        out.append(i - L)  # back-link → already-seen URL (dedup exercise)
+    if k > 0:
+        out.append(cls + ((k - 1) // 3) * L)  # parent back-link
+    rng = random.Random((seed << 20) ^ i)
+    sib = cls + (k + 1 + rng.randrange(3)) * L  # a near sibling
+    if sib < n_pages:
+        out.append(sib)
     return out
 
 

@@ -1,0 +1,141 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All of these are built from JVM-side ``pyspark.sql.functions`` only — they
+stay inside whole-stage codegen, no Python in the hot path — and each has
+an exact ANSI-SQL (DuckDB) oracle in ``__spark_entry__.oracle_sql``.
+
+These extend the reference's capabilities (its only text op is HTML text
+extraction) to what a 100 TB webtext pipeline needs: token counting,
+quality scoring, language ID, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# whitespace tokenization — \\s+ split of trimmed text
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty string → 0."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation atoms.
+    Splitting on word boundaries approximates subword segmentation load."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?<=\W)|(?=\W)"),
+            lambda t: F.length(F.trim(t)) > 0,
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """#non-alnum-non-space chars / #chars (0 for empty)."""
+    cleaned = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(cleaned) / F.length(col)
+    )
+
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic —
+# deliberately small & fixed so the SQL oracle can embed the same lists
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "es": ("el", "la", "los", "que", "es", "para", "con", "una"),
+}
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens that are in ``words`` (lower-cased exact match)."""
+    lowered = F.split(F.trim(F.lower(col)), r"\s+")
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(lowered, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(col: Column, words: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    return F.when(token_count(col) == 0, F.lit(0.0)).otherwise(
+        stopword_hits(col, words) / token_count(col)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]:
+    0.4·length-band + 0.3·(1-punct_ratio) + 0.3·min(1, 5·stopword_ratio).
+    Deterministic, closed-form, oracle-checkable."""
+    n = token_count(col)
+    length_band = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).when(
+        n > 0, F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * length_band
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stopword_ratio(col))
+    )
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    """Marker-hit count per language — argmax = language ID."""
+    return [(lang, stopword_hits(col, ws)) for lang, ws in LANG_MARKERS.items()]
+
+
+def lang_id(col: Column) -> Column:
+    """Highest-scoring language, ties broken alphabetically, 'und' if all 0."""
+    pairs = lang_scores(col)
+    best = F.greatest(*[s for _, s in pairs])
+    out = F.lit("und")
+    # build reverse so earlier (alphabetical) languages win ties
+    for lang, score in sorted(pairs, key=lambda p: p[0], reverse=True):
+        out = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_for_fingerprint(col: Column) -> Column:
+    """lower-case, collapse whitespace, strip non-alnum — the canonical form
+    hashed for exact-dup detection."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (md5 matches the
+    reference's only hash, internal/models.go:208-211; engine-internal
+    paths use xxhash64 instead per the north rule)."""
+    return F.md5(normalize_for_fingerprint(col))
+
+
+def fingerprint_xxhash(col: Column) -> Column:
+    return F.xxhash64(normalize_for_fingerprint(col))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of character n-grams of the normalized text (JVM-side:
+    sequence + transform + substring)."""
+    norm = normalize_for_fingerprint(col)
+    count = F.length(norm) - (n - 1)
+    # guard: sequence(1, 0) would be the DESCENDING [1, 0] in Spark
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.greatest(count, F.lit(1))), lambda i: norm.substr(i, F.lit(n)))
+    )
+
+
+def token_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of token n-gram strings ("shingles") — minhash input."""
+    toks = tokens(normalize_for_fingerprint(col))
+    count = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) would be the DESCENDING [1, 0] in Spark
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )

@@ -1,0 +1,339 @@
+"""Corpus-level deduplication operators for training-data pipelines.
+
+Five dedup families, each scale-shaped for 100 TB:
+
+- exact:          hash-groupBy on a content fingerprint (one shuffle on the
+                  64/128-bit hash, never on the text itself)
+- minhash + LSH:  shingles → k minhashes (vectorized numpy over Arrow
+                  batches) → b bands → explode band keys → self-join on
+                  (band, band_hash) buckets → candidate pairs → exact
+                  Jaccard verify. Join key cardinality ≈ corpus size × b,
+                  so the self-join is bucket-local, never all-pairs.
+- simhash:        64-bit weighted-projection fingerprint; near-dups =
+                  pairs within Hamming distance d, found by exploding 4
+                  16-bit chunks (any pair at distance ≤3 shares a chunk —
+                  pigeonhole) and bucket-joining on (chunk_idx, chunk).
+- n-gram Jaccard: exact token-shingle Jaccard for candidate pairs
+                  (verification primitive; all JVM built-ins)
+- embedding:      cosine near-dup over array<float> vectors — bucketed by
+                  random-hyperplane LSH sign bits, exact cosine verify
+                  inside buckets (see operators/similarity.py for ANN).
+
+Nothing here collects to the driver; every operator is a DataFrame→
+DataFrame transform.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from go_crawler_spark.functions.text import (
+    fingerprint_md5,
+    normalize_for_fingerprint,
+    token_ngrams,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per content fingerprint (deterministic
+    first-writer analog of Q1 at corpus scale). Shuffles on the md5, not
+    the document bytes."""
+    fp = df.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate clusters: fingerprint → sorted member ids (size > 1)."""
+    return (
+        df.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Add ``minhash: array<long>`` (k-permutation minhash of token
+    shingles). Shingle hashing is JVM xxhash64 (explode-free: the shingle
+    array stays an array); the k permutations run vectorized in numpy over
+    Arrow batches — one Python stage, O(rows × shingles × k) ints."""
+    a, b = _minhash_params(n_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append([int(_MERSENNE)] * n_hashes)
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            # (a*h + b) mod p for all k at once: (k, n) broadcast
+            v = (a.astype(np.uint64)[:, None] * h[None, :] + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+            out.append(v.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out, dtype=object)
+
+    shingled = df.withColumn(
+        "_shingle_hashes",
+        F.transform(token_ngrams(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)),
+    )
+    return shingled.withColumn("minhash", minhash_udf("_shingle_hashes")).drop(
+        "_shingle_hashes"
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash) buckets.
+    Returns candidate pairs (id_a < id_b), deduped."""
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bidx: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("minhash"),
+                                bidx * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact token-shingle Jaccard for candidate pairs — all JVM built-ins
+    (array_intersect/array_union on distinct shingle arrays)."""
+    sh = df.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(token_ngrams(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(inter / union),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH buckets → exact verify."""
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_n, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes // n_bands)
+    return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    out = []
+    for hs in hashes:
+        if hs is None or len(hs) == 0:
+            out.append(0)
+            continue
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                sim |= np.uint64(1) << np.uint64(i)
+        out.append(int(sim.astype(np.int64)))
+    return pd.Series(out, dtype="int64")
+
+
+def simhash(df: DataFrame, text_col: str) -> DataFrame:
+    """64-bit simhash over token hashes (majority vote per bit)."""
+    toks = F.transform(
+        F.split(normalize_for_fingerprint(F.col(text_col)), r"\s+"),
+        lambda t: F.xxhash64(t),
+    )
+    return df.withColumn("simhash", _simhash_from_hashes(toks))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` (≤3 guaranteed found:
+    4 chunks of 16 bits — pigeonhole). Bucket-join on matching chunks,
+    then exact popcount verify via JVM bit_count."""
+    sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    chunked = sh.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk"
+    )
+    b = chunked.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk"
+    )
+    pairs = (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity_expr(a: str, b: str) -> F.Column:
+    """Exact cosine via JVM higher-order functions (zip_with + aggregate) —
+    no Python for the verify step."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH buckets + exact cosine verify inside buckets."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+    @pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None or len(v) == 0:
+                out.append(-1)
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            signs = (planes @ arr) > 0
+            out.append(sum(int(s) << i for i, s in enumerate(signs)))
+        return pd.Series(out, dtype="int64")
+
+    bucketed = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("bucket", bucket_udf("_vec"))
+    a = bucketed.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_expr("vec_a", "vec_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -6,14 +6,25 @@ item ``SetSkipped("download")`` and the item *continues through the
 pipeline* (main.go:158-163). In the sandbox table model the web is the
 Common-Crawl-style ``pages`` table, so:
 
-- GET        → ``frontier LEFT JOIN pages ON url`` (match ⇔ status 200)
+- GET        → lookup of the frontier batch in ``pages`` (match ⇔ 200)
 - HEAD gate  → ``length(html) > max_file_size`` ⇒ content dropped,
                status = 'skipped_download' (exact size known in the model)
 - failure    → no match ⇒ html NULL, status = 'skipped_download'; the row
                is preserved (row-preserving skip, SURVEY §3.2)
 
-For a real cluster the join's build side is the frontier batch (small vs a
-100 TB pages table); Catalyst/AQE picks broadcast when the batch fits.
+Join strategy for scale: the frontier batch is always the small side (a
+round fetches ≤ budget rows; the corpus is the 100 TB side), so the lookup
+is ``corpus INNER JOIN broadcast(frontier)`` — one corpus scan with a
+broadcast hash filter (Catalyst pushes a runtime bloom filter into the
+scan) — and the misses are a broadcast ``left_anti`` of the frontier
+against the (small) hit set. A plain ``frontier LEFT JOIN corpus`` would
+instead shuffle the corpus on the join key. With Iceberg, bucketing pages
+by xxhash64(url) would upgrade this to a storage-partition join; the
+broadcast pattern is the format-agnostic equivalent.
+
+``fetch_hits`` must be materialized (cached/written) by the caller before
+``fetch_round`` unions hits with misses — otherwise the corpus scan runs
+twice.
 """
 
 from __future__ import annotations
@@ -21,11 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def fetch_round(frontier: DataFrame, pages: DataFrame, max_file_size: int) -> DataFrame:
-    """Join one frontier batch against the pages corpus.
-
-    Returns frontier columns + (html, text, lang, warc_ts, size, status).
-    """
+def fetch_hits(frontier: DataFrame, pages: DataFrame) -> DataFrame:
+    """One corpus scan: frontier rows found in the corpus, with content."""
     corpus = pages.select(
         "url",
         F.col("html").alias("_html"),
@@ -33,7 +41,21 @@ def fetch_round(frontier: DataFrame, pages: DataFrame, max_file_size: int) -> Da
         "lang",
         "warc_ts",
     )
-    joined = frontier.join(corpus, on="url", how="left")
+    return corpus.join(F.broadcast(frontier), on="url", how="inner")
+
+
+def fetch_round(frontier: DataFrame, hits: DataFrame, max_file_size: int) -> DataFrame:
+    """Combine materialized ``hits`` with the frontier's misses and apply
+    the size gate. Returns frontier columns + (html, text, lang, warc_ts,
+    size, status)."""
+    misses = (
+        frontier.join(F.broadcast(hits.select("url")), on="url", how="left_anti")
+        .withColumn("_html", F.lit(None).cast("binary"))
+        .withColumn("_text", F.lit(None).cast("string"))
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    )
+    joined = hits.unionByName(misses.select(*hits.columns))
     oversized = F.length(F.col("_html")) > F.lit(max_file_size)
     missing = F.col("_html").isNull()
     return (
@@ -44,6 +66,6 @@ def fetch_round(frontier: DataFrame, pages: DataFrame, max_file_size: int) -> Da
         # size gate: content never downloaded (main.go:324-330) → null out
         .withColumn("html", F.when(oversized | missing, F.lit(None)).otherwise(F.col("_html")))
         .withColumn("text", F.when(oversized | missing, F.lit(None)).otherwise(F.col("_text")))
-        .withColumn("size", F.coalesce(F.length(F.col("html")), F.lit(0)))
+        .withColumn("size", F.coalesce(F.length(F.col("html")), F.lit(0)).cast("long"))
         .drop("_html", "_text")
     )

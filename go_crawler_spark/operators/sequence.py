@@ -20,6 +20,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+# below this row count a single-task sort beats the two extra passes the
+# range-partition scheme needs (sampling runs once per action)
+SMALL_INPUT_ROWS = 100_000
+
 
 def assign_global_seq(
     df: DataFrame,
@@ -32,21 +36,53 @@ def assign_global_seq(
     ``order_cols`` (which must be a total order — no ties), without a
     single-partition window.
     """
+    out, _ = assign_global_seq_counted(df, order_cols, start, out_col, num_partitions)
+    return out
+
+
+def assign_global_seq_counted(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    start: int = 0,
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+    count_by: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Like :func:`assign_global_seq` but also returns the group counts the
+    pass-1 job computed anyway — ``{value: n}`` grouped by ``count_by``
+    (or ``{None: total}``), so callers don't pay extra count() jobs.
+    """
     cols = [F.col(c) for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+    # pass 1a: cheap global counts (no repartition). Small inputs take the
+    # single-partition fast path — range-partition sampling costs two extra
+    # passes and only pays off when the batch is large.
+    pre = df.groupBy(count_by).count().collect() if count_by else [
+        {"count": df.count()}
+    ]
+    by_value: dict = {}
+    for r in pre:
+        key = r[count_by] if count_by else None
+        by_value[key] = by_value.get(key, 0) + r["count"]
+    total = sum(by_value.values())
+
+    if total <= SMALL_INPUT_ROWS:
+        parted = df.coalesce(1).sortWithinPartitions(*cols)
+        offsets = {0: start}
+    else:
+        parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        counts_df = (
+            parted.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count()
+        )
+        counts = {r["_pid"]: r["count"] for r in counts_df.collect()}
+        offsets = {}
+        acc = start
+        for pid in range(n):
+            offsets[pid] = acc
+            acc += counts.get(pid, 0)
 
     schema = StructType(parted.schema.fields + [StructField(out_col, LongType(), False)])
-
-    # pass 1: per-partition counts → driver-side offsets (one long per partition)
-    counts_df = parted.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count()
-    counts = {r["_pid"]: r["count"] for r in counts_df.collect()}
-    offsets: dict[int, int] = {}
-    acc = start
-    for pid in range(n):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
-
     b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
 
     # pass 2: local cumulative index + broadcast offset (Arrow batches)
@@ -62,4 +98,4 @@ def assign_global_seq(
             local += k
             yield pdf
 
-    return parted.mapInPandas(add_seq, schema)
+    return parted.mapInPandas(add_seq, schema), by_value

@@ -5,7 +5,7 @@ One *round* is a single declarative lineage (SURVEY §3.1 Spark lifecycle):
     frontier → [robots] → [politeness split] → fetch join (pages corpus)
              → extract UDF → explode → depth filter → within-round dedup
              → anti-join seen (bloom-pruned) → budget-ordered limit
-             → seq assignment → {next frontier, seen ∪, sink append, metrics}
+             → seq assignment → {next frontier, seen ∪, sink append}
 
 which replaces the reference's goroutine pipeline (cmd/crawler/main.go:61-90)
 — Spark's task scheduler replaces the hand-rolled worker pools (C2), union
@@ -13,16 +13,42 @@ replaces fan-in (C3), and the driver loop condition replaces ack-counting
 termination (Q4, internal/queue.go:116-129).
 
 Scale posture (designed for 10^10 URLs / 1000 executors, tested local):
-- frontier/seen carry ``url_hash = xxhash64(url)``; seen is written
-  hash-bucketed so the per-round anti-join co-partitions without a resort;
-- the bloom filter prunes the anti-join probe side (operators/dedup.py);
+- the fetch lookup is corpus ⋈ broadcast(frontier) — one corpus scan per
+  round, never a corpus shuffle (operators/fetch.py);
+- the URL-seen bloom filter is *incremental*: each round absorbs only the
+  newly-seen delta (per-partition build OR-merged on the driver) — the
+  seen set is never rescanned (operators/dedup.py);
+- ``seen`` is the union of the per-round enqueue tables (append-only; the
+  enqueue rows ARE the seen delta — admitted and budget-refused alike,
+  queue.go:92-106 — so no separate seen write exists);
 - the politeness window is salted two-phase (operators/politeness.py) so a
   mega-host cannot serialize a round;
-- seq assignment is the two-pass range-partition scheme (operators/
-  sequence.py), never a single-partition window;
-- per-round state is persisted to parquet (atomic rename) → any round is
+- per-round state lands in parquet (atomic rename) → any round is
   resumable (C6 [EXTENSION]); lineage is truncated every round so plans
   stay O(1) deep regardless of crawl length.
+
+The scalability constant of an iterative-batch crawler is the number of
+*synchronous driver actions per round*. This loop runs THREE in the
+common case (no politeness/robots):
+
+  J1  fetched write   — corpus lookup + size gate + link extraction, the
+                        extracted children stored as an array column so
+                        the UDF runs exactly once;
+  J2  enqueue write   — depth gate → within-round first-writer dedup →
+                        bloom-pruned anti-join vs seen → budget + seq in
+                        a single ordered pass; admitted and refused rows
+                        land together (the seen delta);
+  J3  absorb          — one pass over the enqueue delta yielding the
+                        bloom bits per partition AND the admission
+                        counters the driver loop needs (no extra count()
+                        actions).
+
+Politeness/robots add a frontier write + count. Budget+seq use a
+single-task ordered pass while a round's candidate set is small
+(SMALL_INPUT_ROWS) and switch to the distributed ordered-limit +
+range-partitioned two-pass scheme beyond it — at 10^10-URL scale rounds
+are huge and the fixed action count is noise; at small scale the fixed
+action count IS the runtime.
 """
 
 from __future__ import annotations
@@ -30,9 +56,11 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Iterator, List, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_crawler_spark.config import CrawlConfig
@@ -44,65 +72,195 @@ from go_crawler_spark.functions.urls import (
 )
 from go_crawler_spark.operators.budget import apply_page_budget
 from go_crawler_spark.operators.dedup import (
-    build_bloom,
+    BloomFilter,
     dedup_against_seen,
     first_writer_dedup,
 )
-from go_crawler_spark.operators.fetch import fetch_round
+from go_crawler_spark.operators.fetch import fetch_hits, fetch_round
 from go_crawler_spark.operators.politeness import apply_robots, assign_fetch_slots
-from go_crawler_spark.operators.sequence import assign_global_seq
+from go_crawler_spark.operators.sequence import SMALL_INPUT_ROWS, assign_global_seq_counted
 
-FRONTIER_SCHEMA = "url string, kind string, depth int, seq long, host string"
 ORDER_COLS = ["parent_seq", "pos"]  # canonical within-round discovery order
+
+ENQUEUE_SCHEMA = (
+    "url string, kind string, depth int, seq long, host string, "
+    "admitted boolean, enqueue_round int"
+)
+FRONTIER_COLS = ["url", "kind", "depth", "seq", "host"]
 
 
 @dataclass
 class CrawlResult:
-    schedule: DataFrame   # url kind depth seq host enqueue_round
+    schedule: DataFrame   # url kind depth seq host enqueue_round (admitted only)
     fetched: DataFrame    # url kind depth seq host round status size
     pages_out: DataFrame  # url warc_ts html text lang status save_path kind depth round
     metrics: DataFrame    # round pages_crawled pages_failed links_discovered assets_found bytes_downloaded
-    seen: DataFrame       # url url_hash
+    seen: DataFrame       # url
     rounds: int
+    workdir: str
 
 
-def _workdir_write(df: DataFrame, path: str, partition_cols: Optional[List[str]] = None) -> DataFrame:
-    """Atomic parquet materialization: write to tmp, rename, read back.
-    Truncates lineage and is the per-round checkpoint (C6)."""
+def _write(df: DataFrame, path: str) -> DataFrame:
+    """Parquet materialization with atomic rename; truncates lineage and is
+    the per-round checkpoint (C6)."""
     tmp = path + "._tmp"
-    w = df.write.mode("overwrite")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
     return df.sparkSession.read.parquet(path)
 
 
-def _append(df: Optional[DataFrame], new: DataFrame) -> DataFrame:
-    return new if df is None else df.unionByName(new)
-
-
-def seeds_frontier(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> tuple[DataFrame, DataFrame, int, int]:
+def seeds_enqueue(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> DataFrame:
     """Initial Push of the seed list (ref: main.go:93, generalized to a list
-    per north rule). Returns (frontier, refused_pages, seq_next, enqueued).
-    Seed dedup + budget follow exactly queue.go:88-114."""
+    per north rule). Seed dedup + budget follow exactly queue.go:88-114:
+    duplicates dropped, budget-refused seeds stay seen (admitted=false)."""
     uniq: list[str] = []
     seen_local: set[str] = set()
     for s in seeds:
         if s not in seen_local:
             seen_local.add(s)
             uniq.append(s)
-    admitted = uniq[: cfg.max_count]
-    refused = uniq[cfg.max_count:]
-    rows = [(u, "page", 0, i) for i, u in enumerate(admitted)]
-    frontier = (
-        spark.createDataFrame(rows, "url string, kind string, depth int, seq long")
-        .withColumn("host", registrable_host_udf("url"))
+    rows = []
+    for i, u in enumerate(uniq):
+        admitted = i < cfg.max_count
+        rows.append((u, "page", 0, i if admitted else None, None, admitted, 0))
+    df = spark.createDataFrame(rows, ENQUEUE_SCHEMA)
+    return df.withColumn("host", registrable_host_udf("url"))
+
+
+def _enqueue_small(
+    new_urls: DataFrame, budget_remaining: int, seq_start: int, rnd: int
+) -> DataFrame:
+    """Single ordered pass: within-round first-writer dedup + admit/refuse
+    + contiguous seq + host, fused (small rounds).
+
+    Reproduces the sequential Push loop (queue.go:88-114) literally:
+    iterate in canonical (parent_seq, pos) order; the first occurrence of a
+    URL wins (queue.go:92-96); pages admitted while budget lasts, assets
+    always admitted; every surviving row is newly seen either way.
+    """
+    from go_crawler_spark.functions.urls import registrable_host
+
+    schema = ENQUEUE_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = budget_remaining
+        seq = seq_start
+        emitted: set[str] = set()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "url": [], "kind": [], "depth": [], "seq": [],
+                "host": [], "admitted": [], "enqueue_round": [],
+            }
+            for url, kind, depth in zip(pdf["url"], pdf["kind"], pdf["depth"]):
+                if url in emitted:
+                    continue  # first-writer-wins within the round
+                emitted.add(url)
+                if kind == "page" and budget <= 0:
+                    adm, s = False, None
+                else:
+                    adm, s = True, seq
+                    seq += 1
+                    if kind == "page":
+                        budget -= 1
+                out["url"].append(url)
+                out["kind"].append(kind)
+                out["depth"].append(depth)
+                out["seq"].append(s)
+                out["host"].append(registrable_host(url))
+                out["admitted"].append(adm)
+                out["enqueue_round"].append(rnd)
+            yield pd.DataFrame(out)
+
+    ordered = (
+        new_urls.select("url", "kind", "depth", *ORDER_COLS)
+        .coalesce(1)
+        .sortWithinPartitions(*ORDER_COLS)
     )
-    refused_df = spark.createDataFrame([(u,) for u in refused], "url string")
-    return frontier, refused_df, len(admitted), len(admitted)
+    return ordered.mapInPandas(run, schema)
+
+
+def _enqueue_large(
+    new_urls: DataFrame, budget_remaining: int, seq_start: int, rnd: int
+) -> DataFrame:
+    """Distributed path for huge rounds: ordered-limit budget (top-K) +
+    two-pass range-partitioned seq assignment."""
+    admitted, refused = apply_page_budget(new_urls, budget_remaining, ORDER_COLS)
+    admitted, _counts = assign_global_seq_counted(
+        admitted.select("url", "kind", "depth", *ORDER_COLS),
+        ORDER_COLS,
+        start=seq_start,
+    )
+    admitted = admitted.select(
+        "url", "kind", "depth", "seq",
+        registrable_host_udf("url").alias("host"),
+        F.lit(True).alias("admitted"),
+        F.lit(rnd).alias("enqueue_round"),
+    )
+    refused_rows = refused.select(
+        "url", "kind", "depth",
+        F.lit(None).cast("long").alias("seq"),
+        registrable_host_udf("url").alias("host"),
+        F.lit(False).alias("admitted"),
+        F.lit(rnd).alias("enqueue_round"),
+    )
+    return admitted.unionByName(refused_rows)
+
+
+def _absorb(
+    enqueue: DataFrame, cfg: CrawlConfig, bloom: Optional[BloomFilter]
+) -> tuple[Optional[BloomFilter], dict]:
+    """One pass over an enqueue delta: per-partition bloom bits (over ALL
+    rows — refused URLs are seen too) + admission counters. Returns the
+    merged bloom and {(admitted, kind): n}."""
+    if bloom is None:
+        rows = enqueue.groupBy("admitted", "kind").count().collect()
+        return None, {(r["admitted"], r["kind"]): r["count"] for r in rows}
+
+    n_bits, n_hashes = cfg.bloom_bits, cfg.bloom_hashes
+    hashed = enqueue.select(
+        "admitted", "kind",
+        F.xxhash64("url").alias("_h1"),
+        F.xxhash64("url", F.lit(0x9E3779B9)).alias("_h2"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        bf = BloomFilter(n_bits, n_hashes)
+        counts: dict[tuple, int] = {}
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            bf.add_many(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
+            grouped = pdf.groupby(["admitted", "kind"]).size()
+            for k, v in grouped.items():
+                counts[k] = counts.get(k, 0) + int(v)
+        if any_rows:
+            yield pd.DataFrame(
+                {
+                    "bits": [bf.bits.tobytes()],
+                    "counts": [json.dumps({f"{a}|{k}": v for (a, k), v in counts.items()})],
+                }
+            )
+
+    merged = bloom
+    counts: dict[tuple, int] = {}
+    for row in hashed.mapInPandas(run, "bits binary, counts string").collect():
+        import numpy as np
+
+        merged = merged.merge(
+            BloomFilter(n_bits, n_hashes, np.frombuffer(row["bits"], dtype=np.uint64).copy())
+        )
+        for k, v in json.loads(row["counts"]).items():
+            a, kind = k.split("|")
+            counts[(a == "True", kind)] = counts.get((a == "True", kind), 0) + v
+    return merged, counts
 
 
 def run_crawl(
@@ -113,61 +271,80 @@ def run_crawl(
     robots: Optional[DataFrame] = None,
     workdir: Optional[str] = None,
     max_rounds: int = 1000,
+    timing: Optional[dict] = None,
 ) -> CrawlResult:
     """Drive the BFS loop. ``pages`` is the (url, warc_ts, html, text, lang)
-    corpus; ``robots`` an optional (host, disallow_prefix) table."""
-    own_workdir = workdir is None
-    if own_workdir:
+    corpus; ``robots`` an optional (host, disallow_prefix) table.
+    Pass ``timing={}`` to collect per-phase wall-clock totals."""
+
+    def _tick(phase: str, t0: float) -> float:
+        t1 = time.perf_counter()
+        if timing is not None:
+            timing[phase] = timing.get(phase, 0.0) + (t1 - t0)
+        return t1
+
+    if workdir is None:
         import tempfile
 
         workdir = tempfile.mkdtemp(prefix="crawl_")
 
-    frontier, refused_seeds, seq_next, pages_enqueued = seeds_frontier(spark, seeds, cfg)
-
-    seen = frontier.select("url").unionByName(refused_seeds).withColumn(
-        "url_hash", F.xxhash64("url")
-    )
-    seen = _workdir_write(seen, os.path.join(workdir, "seen"))
-    frontier = _workdir_write(frontier, os.path.join(workdir, "frontier"))
-
-    schedule = frontier.withColumn("enqueue_round", F.lit(0))
-    schedule = _workdir_write(schedule, os.path.join(workdir, "schedule"))
-    fetched_all: Optional[DataFrame] = None
-    pages_out_all: Optional[DataFrame] = None
-    metrics_rows: list[tuple] = []
+    enq0 = _write(seeds_enqueue(spark, seeds, cfg), os.path.join(workdir, "enqueue_0"))
+    bloom = BloomFilter(cfg.bloom_bits, cfg.bloom_hashes) if cfg.use_bloom else None
+    bloom, counts0 = _absorb(enq0, cfg, bloom)
+    n_frontier = sum(v for (adm, _k), v in counts0.items() if adm)
+    pages_enqueued = sum(v for (adm, k), v in counts0.items() if adm and k == "page")
+    seq_next = n_frontier
+    seen_paths = [os.path.join(workdir, "enqueue_0")]
+    frontier = enq0.filter(F.col("admitted")).select(*FRONTIER_COLS)
+    politeness_mode = cfg.host_slots_per_round > 0 or robots is not None
 
     rnd = 0
-    while rnd < max_rounds:
-        if frontier.isEmpty():
-            break
+    while rnd < max_rounds and n_frontier > 0:
+        t = time.perf_counter()
+        seen = spark.read.parquet(*seen_paths).select("url")
 
         # robots gate [EXTENSION]
         if robots is not None:
             allowed, blocked = apply_robots(frontier, robots)
-            blocked_fetched = blocked.select(
-                "url", "kind", "depth", "seq", "host",
-                F.lit(rnd).alias("round"),
-                F.lit("skipped_robots").alias("status"),
-                F.lit(0).alias("size"),
+            _write(
+                blocked.select(
+                    "url", "kind", "depth", "seq", "host",
+                    F.lit(rnd).alias("round"),
+                    F.lit("skipped_robots").alias("status"),
+                    F.lit(0).cast("long").alias("size"),
+                ),
+                os.path.join(workdir, f"blocked_{rnd}"),
             )
         else:
-            allowed, blocked_fetched = frontier, None
+            allowed = frontier
+        t = _tick("robots", t)
 
         # politeness split [EXTENSION]
         fetch_now, deferred = assign_fetch_slots(
             allowed, cfg.host_slots_per_round, cfg.politeness_salts
         )
 
-        # S2/S3 fetch: lookup join + size gate
-        fetched = fetch_round(fetch_now, pages, cfg.max_file_size)
-        fetched = _workdir_write(fetched, os.path.join(workdir, f"fetched_{rnd}"))
-
-        # P1-P6: parse pages only (assets skip parse, main.go:207)
-        parsed = fetched.filter(F.col("kind") == "page").withColumn(
-            "children", extract_resolved_udf("url", "html")
+        # J1 — fetch (one corpus scan; hits persisted, consumed twice) +
+        # size gate + link extraction stored as an array column (P1-P6;
+        # assets skip parse, main.go:207; a skipped page extracts nothing)
+        hits = fetch_hits(fetch_now, pages).persist()
+        fetched = fetch_round(fetch_now, hits, cfg.max_file_size).withColumn(
+            "round", F.lit(rnd)
         )
+        fetched = fetched.withColumn(
+            "children",
+            F.when(
+                F.col("kind") == "page", extract_resolved_udf("url", "html")
+            ).otherwise(F.lit(None).cast("array<struct<kind:string,url:string,pos:int>>")),
+        )
+        fetched = _write(fetched, os.path.join(workdir, f"fetched_{rnd}"))
+        hits.unpersist()
+        t = _tick("fetch_extract", t)
+
+        # J2 — children explode → depth gate → within-round first-writer
+        # dedup → bloom-pruned anti-join vs seen → budget + seq → enqueue
         children = (
-            parsed.select(
+            fetched.select(
                 F.col("seq").alias("parent_seq"),
                 F.col("depth").alias("parent_depth"),
                 F.explode("children").alias("c"),
@@ -180,70 +357,97 @@ def run_crawl(
                 F.col("c.pos").alias("pos"),
             )
         )
-        children = _workdir_write(children, os.path.join(workdir, f"children_{rnd}"))
-
-        # metrics (M1) — counter names from internal/metrics.go:14-18
-        agg = fetched.agg(
-            F.sum(F.when((F.col("kind") == "page") & (F.col("status") == "ok"), 1).otherwise(0)).alias("pc"),
-            F.sum(F.when((F.col("kind") == "page") & (F.col("status") != "ok"), 1).otherwise(0)).alias("pf"),
-            F.sum("size").alias("bytes"),
-        ).collect()[0]
-        cagg = children.agg(
-            F.sum(F.when(F.col("kind") == "page", 1).otherwise(0)).alias("links"),
-            F.sum(F.when(F.col("kind") != "page", 1).otherwise(0)).alias("assets"),
-        ).collect()[0]
-        metrics_rows.append(
-            (rnd, agg["pc"] or 0, agg["pf"] or 0, cagg["links"] or 0, cagg["assets"] or 0, agg["bytes"] or 0)
-        )
-
-        # [EXTENSION] depth limit — before seen (never pushed ⇒ never seen)
         candidates = children.filter(F.col("depth") <= cfg.max_depth)
+        budget_remaining = max(cfg.max_count - pages_enqueued, 0)
+        small = n_frontier * 64 <= SMALL_INPUT_ROWS  # ≲ avg out-degree bound
+        if small:
+            # first-writer dedup happens inside the fused ordered pass
+            new_urls = dedup_against_seen(candidates, seen, "url", bloom)
+            enq = _enqueue_small(new_urls, budget_remaining, seq_next, rnd + 1)
+        else:
+            candidates = first_writer_dedup(candidates, "url", ORDER_COLS)
+            new_urls = dedup_against_seen(candidates, seen, "url", bloom)
+            enq = _enqueue_large(new_urls, budget_remaining, seq_next, rnd + 1)
+        enq = _write(enq, os.path.join(workdir, f"enqueue_{rnd + 1}"))
+        seen_paths.append(os.path.join(workdir, f"enqueue_{rnd + 1}"))
+        t = _tick("enqueue", t)
 
-        # Q1a within-round first-writer-wins
-        candidates = first_writer_dedup(candidates, "url", ORDER_COLS)
-
-        # Q1b cross-round: bloom prune + exact anti-join
-        bloom = (
-            build_bloom(seen, "url", cfg.bloom_bits, cfg.bloom_hashes)
-            if cfg.use_bloom
-            else None
-        )
-        new_urls = dedup_against_seen(candidates, seen, "url", bloom)
-
-        # Q2 budget: ordered limit, pages only; refused pages still get seen
-        budget_remaining = cfg.max_count - pages_enqueued
-        admitted, refused = apply_page_budget(new_urls, budget_remaining, ORDER_COLS)
-
-        # canonical contiguous seq continuing the global counter
-        admitted = assign_global_seq(
-            admitted.select("url", "kind", "depth", "parent_seq", "pos"),
-            ORDER_COLS,
-            start=seq_next,
-        )
-        admitted = admitted.select(
-            "url", "kind", "depth", "seq",
-            registrable_host_udf("url").alias("host"),
-        )
-        admitted = _workdir_write(admitted, os.path.join(workdir, f"admitted_{rnd}"))
-
-        n_admitted = admitted.count()
-        n_admitted_pages = admitted.filter(F.col("kind") == "page").count()
+        # J3 — absorb the delta into the bloom + admission counters
+        bloom, counts = _absorb(enq, cfg, bloom)
+        n_admitted = sum(v for (adm, _k), v in counts.items() if adm)
+        pages_enqueued += sum(v for (adm, k), v in counts.items() if adm and k == "page")
         seq_next += n_admitted
-        pages_enqueued += n_admitted_pages
+        t = _tick("absorb", t)
 
-        # seen ∪ admitted ∪ budget-refused pages (queue.go:92-106)
-        seen_new = (
-            admitted.select("url")
-            .unionByName(refused.select("url"))
-            .withColumn("url_hash", F.xxhash64("url"))
-        )
-        seen = _workdir_write(
-            seen.unionByName(seen_new), os.path.join(workdir, f"seen_{rnd}")
-        )
+        admitted = enq.filter(F.col("admitted")).select(*FRONTIER_COLS)
+        if politeness_mode:
+            frontier = _write(
+                deferred.select(*FRONTIER_COLS).unionByName(admitted),
+                os.path.join(workdir, "frontier"),
+            )
+            n_frontier = frontier.count()
+        else:
+            frontier = admitted
+            n_frontier = n_admitted
+        t = _tick("frontier", t)
 
-        # S4/S5/T1 sink: rewrite page html, resolve save paths, keep skipped
-        # rows (row-preserving skip, SURVEY §3.2)
-        out = fetched.select(
+        with open(os.path.join(workdir, "MANIFEST.json"), "w") as f:
+            json.dump(
+                {"round": rnd, "seq_next": seq_next, "pages_enqueued": pages_enqueued,
+                 "config": {"max_count": cfg.max_count, "max_depth": cfg.max_depth,
+                            "host_slots_per_round": cfg.host_slots_per_round}},
+                f,
+            )
+        rnd += 1
+
+    return _assemble_result(spark, workdir, rnd, cfg)
+
+
+def _assemble_result(spark: SparkSession, workdir: str, rounds: int, cfg: CrawlConfig) -> CrawlResult:
+    """Build the result tables from the per-round parquet logs — metrics in
+    one job over the stored extraction arrays (M1 counter names from
+    internal/metrics.go:14-18)."""
+
+    def rounds_with(prefix: str) -> list[int]:
+        out = []
+        for d in os.listdir(workdir):
+            if d.startswith(prefix) and not d.endswith("._tmp"):
+                try:
+                    out.append(int(d[len(prefix):]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def union_all(prefix: str) -> Optional[DataFrame]:
+        rs = rounds_with(prefix)
+        if not rs:
+            return None
+        df = None
+        for r in rs:
+            part = spark.read.parquet(os.path.join(workdir, f"{prefix}{r}"))
+            df = part if df is None else df.unionByName(part)
+        return df
+
+    enqueue = union_all("enqueue_")
+    schedule = enqueue.filter(F.col("admitted")).select(
+        "url", "kind", "depth", "seq", "host", "enqueue_round"
+    )
+
+    raw_fetched = union_all("fetched_")
+    fetched = None
+    if raw_fetched is not None:
+        fetched = raw_fetched.select(
+            "url", "kind", "depth", "seq", "host", "round", "status", "size"
+        )
+        blocked = union_all("blocked_")
+        if blocked is not None:
+            fetched = fetched.unionByName(blocked)
+
+    # S4/S5/T1 sink: rewrite page html, resolve save paths, keep skipped
+    # rows (row-preserving skip, SURVEY §3.2)
+    pages_out = None
+    if raw_fetched is not None:
+        pages_out = raw_fetched.select(
             "url", "warc_ts",
             F.when(
                 (F.col("kind") == "page") & F.col("html").isNotNull(),
@@ -252,55 +456,40 @@ def run_crawl(
             "text", "lang", "status", "kind", "depth",
             F.when(F.col("kind") == "page", page_save_path_udf("url"))
             .otherwise(asset_save_path_udf("url")).alias("save_path"),
-            F.lit(rnd).alias("round"),
+            "round",
         )
-        pages_out_all = _append(pages_out_all, out)
+        pages_out = _write(pages_out, os.path.join(workdir, "pages_out"))
 
-        fetch_log = fetched.select(
-            "url", "kind", "depth", "seq", "host",
-            F.lit(rnd).alias("round"), "status", "size",
+    # metrics from the stored children arrays — zero-filled per round
+    all_rounds = spark.range(rounds).select(F.col("id").cast("int").alias("round"))
+    if raw_fetched is not None:
+        fetch_m = raw_fetched.groupBy("round").agg(
+            F.sum(F.when((F.col("kind") == "page") & (F.col("status") == "ok"), 1).otherwise(0)).alias("pages_crawled"),
+            F.sum(F.when((F.col("kind") == "page") & (F.col("status") != "ok"), 1).otherwise(0)).alias("pages_failed"),
+            F.sum("size").alias("bytes_downloaded"),
+            F.sum(F.size(F.filter("children", lambda c: c["kind"] == "page"))).alias("links_discovered"),
+            F.sum(F.size(F.filter("children", lambda c: c["kind"] != "page"))).alias("assets_found"),
         )
-        if blocked_fetched is not None:
-            fetch_log = fetch_log.unionByName(blocked_fetched)
-        # materialize: blocked_fetched lazily reads the frontier path, which
-        # is overwritten at the end of every round
-        fetch_log = _workdir_write(fetch_log, os.path.join(workdir, f"fetchlog_{rnd}"))
-        fetched_all = _append(fetched_all, fetch_log)
-
-        schedule = _append(
-            schedule.sparkSession.read.parquet(os.path.join(workdir, "schedule")),
-            admitted.withColumn("enqueue_round", F.lit(rnd + 1)),
+    else:
+        fetch_m = spark.createDataFrame(
+            [], "round int, pages_crawled long, pages_failed long, "
+            "bytes_downloaded long, links_discovered long, assets_found long"
         )
-        schedule = _workdir_write(schedule, os.path.join(workdir, "schedule"))
-
-        # next frontier = deferred ∪ admitted
-        frontier = _workdir_write(
-            deferred.select("url", "kind", "depth", "seq", "host").unionByName(
-                admitted
-            ),
-            os.path.join(workdir, "frontier"),
-        )
-
-        # checkpoint manifest — resume point (C6 [EXTENSION])
-        with open(os.path.join(workdir, "MANIFEST.json"), "w") as f:
-            json.dump(
-                {"round": rnd, "seq_next": seq_next, "pages_enqueued": pages_enqueued},
-                f,
-            )
-        rnd += 1
-
-    metrics = spark.createDataFrame(
-        metrics_rows,
-        "round int, pages_crawled long, pages_failed long, "
-        "links_discovered long, assets_found long, bytes_downloaded long",
+    metrics = all_rounds.join(fetch_m, on="round", how="left").select(
+        "round",
+        F.coalesce("pages_crawled", F.lit(0)).alias("pages_crawled"),
+        F.coalesce("pages_failed", F.lit(0)).alias("pages_failed"),
+        F.coalesce("links_discovered", F.lit(0)).alias("links_discovered"),
+        F.coalesce("assets_found", F.lit(0)).alias("assets_found"),
+        F.coalesce("bytes_downloaded", F.lit(0)).alias("bytes_downloaded"),
     )
-    pages_out = _workdir_write(pages_out_all, os.path.join(workdir, "pages_out")) if pages_out_all is not None else None
-    fetched_final = _workdir_write(fetched_all, os.path.join(workdir, "fetched")) if fetched_all is not None else None
+
     return CrawlResult(
         schedule=schedule,
-        fetched=fetched_final,
+        fetched=fetched,
         pages_out=pages_out,
         metrics=metrics,
-        seen=seen,
-        rounds=rnd,
+        seen=enqueue.select("url"),
+        rounds=rounds,
+        workdir=workdir,
     )
