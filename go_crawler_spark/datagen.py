@@ -166,20 +166,28 @@ def all_asset_urls(n_pages: int) -> List[str]:
 
 def generate_pages_df(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
     """Distributed corpus: page rows + asset rows (assets are fetchable
-    members of the corpus with empty text). No driver-side materialization."""
+    members of the corpus with empty text). No driver-side materialization
+    — page AND per-page asset rows derive from the page index inside
+    ``mapInPandas``; only the ~|hosts| shared assets are driver rows."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [corpus_row(int(i), n_pages, seed) for i in pdf["id"]]
+            rows = []
+            for i in pdf["id"]:
+                rows.append(corpus_row(int(i), n_pages, seed))
+                img = asset_urls_of_index(int(i))[2]  # unique per-page asset
+                rows.append((img, EPOCH, asset_content(img), "", ""))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
     pages = spark.range(n_pages).mapInPandas(gen, PAGES_SCHEMA)
 
-    asset_rows = [
-        (u, EPOCH, asset_content(u), "", "") for u in all_asset_urls(n_pages)
-    ]
+    shared: set[str] = set()
+    for h in set(HOSTS):
+        shared.add(f"https://{h}/common/site.css")
+        shared.add(f"https://{h}/common/app.js?v=1")
+    asset_rows = [(u, EPOCH, asset_content(u), "", "") for u in sorted(shared)]
     assets = spark.createDataFrame(asset_rows, PAGES_SCHEMA)
     return pages.unionByName(assets)
 

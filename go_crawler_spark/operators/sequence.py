@@ -71,14 +71,23 @@ def assign_global_seq_counted(
         parted = df.coalesce(1).sortWithinPartitions(*cols)
         offsets = {0: start}
     else:
-        parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        # repartitionByRange RESAMPLES boundaries on every action — the
+        # count pass and the assignment pass would see different
+        # partitions. Materialize the partitioning once (eager local
+        # checkpoint): both passes then share identical partitions, and a
+        # lost partition fails the job instead of silently resampling.
+        parted = (
+            df.repartitionByRange(n, *cols)
+            .sortWithinPartitions(*cols)
+            .localCheckpoint(eager=True)
+        )
         counts_df = (
             parted.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count()
         )
         counts = {r["_pid"]: r["count"] for r in counts_df.collect()}
         offsets = {}
         acc = start
-        for pid in range(n):
+        for pid in range(max(counts.keys(), default=-1) + 1):
             offsets[pid] = acc
             acc += counts.get(pid, 0)
 

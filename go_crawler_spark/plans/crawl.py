@@ -263,6 +263,32 @@ def _absorb(
     return merged, counts
 
 
+def resume_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    workdir: str,
+    robots: Optional[DataFrame] = None,
+    max_rounds: int = 1000,
+    timing: Optional[dict] = None,
+) -> CrawlResult:
+    """Resume an interrupted crawl from its workdir checkpoint (C6
+    [EXTENSION] — the north rule requires any round to be resumable).
+
+    State recovered from disk: the per-round enqueue tables (⇒ seen set,
+    schedule, seq counter), MANIFEST.json (round, counters), and the
+    current frontier (recomputed from enqueue ∪ fetch logs: admitted items
+    not yet fetched). The bloom filter is rebuilt from the enqueue tables.
+    """
+    with open(os.path.join(workdir, "MANIFEST.json")) as f:
+        man = json.load(f)
+    return run_crawl(
+        spark, pages, [], cfg, robots=robots, workdir=workdir,
+        max_rounds=max_rounds, timing=timing,
+        _resume_from=man["round"] + 1,
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -272,6 +298,7 @@ def run_crawl(
     workdir: Optional[str] = None,
     max_rounds: int = 1000,
     timing: Optional[dict] = None,
+    _resume_from: Optional[int] = None,
 ) -> CrawlResult:
     """Drive the BFS loop. ``pages`` is the (url, warc_ts, html, text, lang)
     corpus; ``robots`` an optional (host, disallow_prefix) table.
@@ -288,17 +315,63 @@ def run_crawl(
 
         workdir = tempfile.mkdtemp(prefix="crawl_")
 
-    enq0 = _write(seeds_enqueue(spark, seeds, cfg), os.path.join(workdir, "enqueue_0"))
-    bloom = BloomFilter(cfg.bloom_bits, cfg.bloom_hashes) if cfg.use_bloom else None
-    bloom, counts0 = _absorb(enq0, cfg, bloom)
-    n_frontier = sum(v for (adm, _k), v in counts0.items() if adm)
-    pages_enqueued = sum(v for (adm, k), v in counts0.items() if adm and k == "page")
-    seq_next = n_frontier
-    seen_paths = [os.path.join(workdir, "enqueue_0")]
-    frontier = enq0.filter(F.col("admitted")).select(*FRONTIER_COLS)
     politeness_mode = cfg.host_slots_per_round > 0 or robots is not None
 
-    rnd = 0
+    if _resume_from is None:
+        enq0 = _write(seeds_enqueue(spark, seeds, cfg), os.path.join(workdir, "enqueue_0"))
+        bloom = BloomFilter(cfg.bloom_bits, cfg.bloom_hashes) if cfg.use_bloom else None
+        bloom, counts0 = _absorb(enq0, cfg, bloom)
+        n_frontier = sum(v for (adm, _k), v in counts0.items() if adm)
+        pages_enqueued = sum(v for (adm, k), v in counts0.items() if adm and k == "page")
+        seq_next = n_frontier
+        seen_paths = [os.path.join(workdir, "enqueue_0")]
+        frontier = enq0.filter(F.col("admitted")).select(*FRONTIER_COLS)
+        rnd = 0
+    else:
+        with open(os.path.join(workdir, "MANIFEST.json")) as f:
+            man = json.load(f)
+        rnd = _resume_from
+        seq_next = man["seq_next"]
+        pages_enqueued = man["pages_enqueued"]
+        # drop partial artifacts of the interrupted round: the manifest
+        # marks round r complete only after enqueue_{r+1}; anything newer
+        # is a torn write whose children were never enqueued
+        for d in list(os.listdir(workdir)):
+            for prefix, first_stale in (("fetched_", rnd), ("blocked_", rnd),
+                                        ("enqueue_", rnd + 1)):
+                if d.startswith(prefix):
+                    try:
+                        num = int(d[len(prefix):].removesuffix("._tmp"))
+                    except ValueError:
+                        continue
+                    if num >= first_stale or d.endswith("._tmp"):
+                        shutil.rmtree(os.path.join(workdir, d))
+        seen_paths = [
+            os.path.join(workdir, d)
+            for d in sorted(os.listdir(workdir))
+            if d.startswith("enqueue_") and not d.endswith("._tmp")
+        ]
+        all_enq = spark.read.parquet(*seen_paths)
+        bloom = BloomFilter(cfg.bloom_bits, cfg.bloom_hashes) if cfg.use_bloom else None
+        if bloom is not None:
+            bloom, _ = _absorb(all_enq, cfg, bloom)
+        # frontier = admitted ∖ already-fetched (politeness deferral included)
+        fetched_dirs = [
+            os.path.join(workdir, d)
+            for d in os.listdir(workdir)
+            if d.startswith("fetched_") and not d.endswith("._tmp")
+        ]
+        admitted_all = all_enq.filter(F.col("admitted")).select(*FRONTIER_COLS)
+        if fetched_dirs:
+            done = spark.read.parquet(*fetched_dirs).select("url")
+            for d in (os.path.join(workdir, b) for b in os.listdir(workdir)
+                      if b.startswith("blocked_") and not b.endswith("._tmp")):
+                done = done.unionByName(spark.read.parquet(d).select("url"))
+            frontier = admitted_all.join(done, on="url", how="left_anti")
+        else:
+            frontier = admitted_all
+        frontier = _write(frontier, os.path.join(workdir, "frontier"))
+        n_frontier = frontier.count()
     while rnd < max_rounds and n_frontier > 0:
         t = time.perf_counter()
         seen = spark.read.parquet(*seen_paths).select("url")

@@ -1,0 +1,56 @@
+"""The large-round code paths (distributed ordered-limit budget +
+range-partitioned two-pass seq assignment) are never triggered at test
+scale by the SMALL_INPUT_ROWS heuristic — force them and require identical
+results to the simulator / small path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import go_crawler_spark.operators.sequence as seqmod
+import go_crawler_spark.plans.crawl as crawlmod
+from go_crawler_spark.config import CrawlConfig
+from go_crawler_spark.datagen import default_seeds, generate_corpus_dict, generate_pages_df
+from go_crawler_spark.operators.sequence import assign_global_seq
+from go_crawler_spark.plans.crawl import run_crawl
+from go_crawler_spark.simulator import simulate
+
+N_PAGES = 48
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    df = generate_pages_df(spark, N_PAGES, 42)
+    df.cache().count()
+    return df
+
+
+def test_crawl_large_path_matches_simulator(spark, pages_df, monkeypatch):
+    monkeypatch.setattr(crawlmod, "SMALL_INPUT_ROWS", -1)  # force _enqueue_large
+    cfg = CrawlConfig(max_count=40)
+    res = run_crawl(spark, pages_df, default_seeds(), cfg)
+    sim = simulate(generate_corpus_dict(N_PAGES, 42), default_seeds(), cfg)
+
+    e_sched = {(r["url"], r["kind"], r["depth"], r["seq"]) for r in res.schedule.collect()}
+    s_sched = {(it.url, it.kind, it.depth, it.seq) for it in sim.schedule}
+    assert e_sched == s_sched
+    assert {r["url"] for r in res.seen.collect()} == sim.seen
+
+
+def test_seq_large_path(spark, monkeypatch):
+    monkeypatch.setattr(seqmod, "SMALL_INPUT_ROWS", -1)  # force range-partition path
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 5000).alias("key")
+    )
+    out = assign_global_seq(df, ["key"], start=100, num_partitions=8)
+    rows = sorted((r["key"], r["seq"]) for r in out.collect())
+    assert [s for _, s in rows] == list(range(100, 5100))
+    assert [k for k, _ in rows] == sorted(set(range(0, 5000)))
+
+
+def test_seq_small_path(spark):
+    df = spark.range(0, 500).select((499 - F.col("id")).alias("key"))
+    out = assign_global_seq(df, ["key"], start=0)
+    rows = sorted((r["key"], r["seq"]) for r in out.collect())
+    assert [s for _, s in rows] == list(range(500))
