@@ -261,6 +261,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
         )
 
+    def embedding_near_dup_exact(spark, sf):
+        # embedding-cosine near-dup, exact brute-force tier (the baseline
+        # the LSH variant is judged against); threshold tuned to the
+        # near-random synthetic vectors so the result is non-empty
+        emb = _t(spark, sf, "embeddings")
+        vec = F.col("embedding").cast("array<double>")
+        a = emb.select(F.col("vec_id").alias("id_a"), vec.alias("vec_a"))
+        b = emb.select(F.col("vec_id").alias("id_b"), vec.alias("vec_b"))
+        return (
+            a.join(b, a["id_a"] < b["id_b"])
+            .withColumn("cosine", cosine_similarity_expr("vec_a", "vec_b"))
+            .filter(F.col("cosine") >= 0.4)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        )
+
+    def embedding_near_dup_lsh(spark, sf):
+        # scale path: random-hyperplane LSH buckets + in-bucket exact verify
+        from go_crawler_spark.operators.dedup_corpus import embedding_near_dups
+
+        emb = _t(spark, sf, "embeddings")
+        return embedding_near_dups(
+            emb, "embedding", "vec_id", dim=64, threshold=0.4, n_planes=6
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    def events_sessionization(spark, sf):
+        # window-function breadth: 30-min-gap sessionization per user
+        # (lag → gap flag → cumulative session index → per-session rollup)
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gapped = ev.withColumn(
+            "new_session",
+            F.when(
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+                > 1800,
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        ).withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return gapped.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min(F.col("ts").cast("timestamp").cast("long")).alias("session_start_epoch"),
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias("session_end_epoch"),
+        )
+
     def embedding_pair_sims(spark, sf):
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 15)
         # compute in float64 on both sides (oracle casts to DOUBLE[] too)
@@ -387,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
         "embedding_pair_sims": embedding_pair_sims,
+        "embedding_near_dup_exact": embedding_near_dup_exact,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "events_sessionization": events_sessionization,
         "tpch_pricing_summary": tpch_pricing_summary,
         "revenue_by_priority": revenue_by_priority,
         "crawl_flagship": crawl_flagship,
@@ -567,6 +622,36 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 15 AND b.vec_id < 15
+        """,
+        "embedding_near_dup_exact": """
+            SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.4
+        """,
+        "events_sessionization": """
+            WITH g AS (
+              SELECT user_id, event_id, value, ts,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), s AS (
+              SELECT user_id, value, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_epoch
+            FROM s GROUP BY user_id, session_id
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

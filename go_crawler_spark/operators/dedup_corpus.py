@@ -40,6 +40,24 @@ from go_crawler_spark.functions.text import (
 )
 
 # ---------------------------------------------------------------------------
+# parallelism
+# ---------------------------------------------------------------------------
+
+
+def ensure_cpu_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Text shingling / hashing is CPU-bound per *byte*, so Spark's
+    byte-based input splitting (``maxPartitionBytes``) and AQE's byte-based
+    shuffle coalescing both under-partition it: a 100 MB text file is one
+    task but minutes of CPU. Force at least ``cores × factor`` partitions
+    before a CPU-heavy stage; no-op when the scan already has enough splits
+    (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -87,36 +105,48 @@ def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
+    id_col: str = "doc_id",
     n_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Add ``minhash: array<long>`` (k-permutation minhash of token
-    shingles). Shingle hashing is JVM xxhash64 (explode-free: the shingle
-    array stays an array); the k permutations run vectorized in numpy over
-    Arrow batches — one Python stage, O(rows × shingles × k) ints."""
+    """``(id_col, minhash: array<long>)`` — k-permutation minhash of token
+    shingles. Shingle hashing is JVM xxhash64 (explode-free: the shingle
+    array stays an array); the k permutations run vectorized in numpy.
+
+    The Python stage is ``mapInPandas`` (a plan node), NOT a pandas_udf
+    expression: Spark 4.1's Python-UDF extraction silently skips UDFs whose
+    argument embeds higher-order-function lambdas in some pruned-scan plan
+    shapes, leaving an unevaluable PythonUDF in a Project. A plan node
+    cannot be collapsed into an expression, so this is shape-proof — and
+    identical in cost (one Arrow exchange of (id, shingle_hashes))."""
     a, b = _minhash_params(n_hashes, seed)
 
-    @pandas_udf(ArrayType(LongType()))
-    def minhash_udf(hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append([int(_MERSENNE)] * n_hashes)
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            # (a*h + b) mod p for all k at once: (k, n) broadcast
-            v = (a.astype(np.uint64)[:, None] * h[None, :] + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
-            out.append(v.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out, dtype=object)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        au = a.astype(np.uint64)[:, None]
+        bu = b.astype(np.uint64)[:, None]
+        for pdf in batches:
+            out = []
+            for hs in pdf["_shingle_hashes"]:
+                if hs is None or len(hs) == 0:
+                    out.append([int(_MERSENNE)] * n_hashes)
+                    continue
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # (a*h + b) mod p for all k at once: (k, n) broadcast
+                v = (au * h[None, :] + bu) % np.uint64(_MERSENNE)
+                out.append(v.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"_mid": pdf["_mid"], "minhash": out})
 
-    shingled = df.withColumn(
-        "_shingle_hashes",
-        F.transform(token_ngrams(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)),
+    shingled = ensure_cpu_parallelism(df).select(
+        F.col(id_col).alias("_mid"),
+        F.transform(token_ngrams(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "_shingle_hashes"
+        ),
     )
-    return shingled.withColumn("minhash", minhash_udf("_shingle_hashes")).drop(
-        "_shingle_hashes"
-    )
+    id_type = dict(df.dtypes)[id_col]
+    return shingled.mapInPandas(
+        run, f"_mid {id_type}, minhash array<long>"
+    ).withColumnRenamed("_mid", id_col)
 
 
 def lsh_candidate_pairs(
@@ -169,10 +199,24 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact token-shingle Jaccard for candidate pairs — all JVM built-ins
-    (array_intersect/array_union on distinct shingle arrays)."""
-    sh = df.select(
-        F.col(id_col).alias("_jid"),
-        F.array_distinct(token_ngrams(F.col(text_col), shingle_n)).alias("_sh"),
+    (array_intersect/array_union on distinct shingle arrays).
+
+    Shingles are computed ONLY for docs that appear in a candidate pair
+    (semi-join first): at corpus scale candidates ≪ corpus, so re-shingling
+    everything would dominate the verify cost."""
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("_jid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_jid")))
+        .distinct()
+    )
+    sh = (
+        ensure_cpu_parallelism(
+            df.join(pair_ids, df[id_col] == pair_ids["_jid"], "left_semi")
+        )
+        .select(
+            F.col(id_col).alias("_jid"),
+            F.array_distinct(token_ngrams(F.col(text_col), shingle_n)).alias("_sh"),
+        )
     )
     a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("_sh_b"))
@@ -200,9 +244,13 @@ def minhash_near_dups(
     threshold: float = 0.7,
     seed: int = 42,
 ) -> DataFrame:
-    """Full near-dup pipeline: minhash → LSH buckets → exact verify."""
-    sigs = minhash_signatures(df, text_col, n_hashes, shingle_n, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes // n_bands)
+    """Full near-dup pipeline: minhash → LSH buckets → exact verify.
+
+    ``pairs`` is persisted: the verify step consumes it twice (candidate-id
+    semi-join + the pair join) and without a persist each consumer would
+    recompute the whole signature pipeline."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes // n_bands).persist()
     return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold)
 
 
@@ -211,7 +259,6 @@ def minhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf(LongType())
 def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     out = []
     for hs in hashes:
@@ -229,13 +276,28 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
-def simhash(df: DataFrame, text_col: str) -> DataFrame:
-    """64-bit simhash over token hashes (majority vote per bit)."""
+def simhash(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, simhash)`` — 64-bit simhash over token hashes (majority
+    vote per bit). Python stage is mapInPandas for the same plan-shape
+    robustness as ``minhash_signatures``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"_sid": pdf["_sid"], "simhash": _simhash_from_hashes(pdf["_th"])}
+            )
+
     toks = F.transform(
         F.split(normalize_for_fingerprint(F.col(text_col)), r"\s+"),
         lambda t: F.xxhash64(t),
     )
-    return df.withColumn("simhash", _simhash_from_hashes(toks))
+    projected = ensure_cpu_parallelism(df).select(
+        F.col(id_col).alias("_sid"), toks.alias("_th")
+    )
+    id_type = dict(df.dtypes)[id_col]
+    return projected.mapInPandas(
+        run, f"_sid {id_type}, simhash long"
+    ).withColumnRenamed("_sid", id_col)
 
 
 def simhash_near_dups(
@@ -244,7 +306,7 @@ def simhash_near_dups(
     """Pairs within Hamming distance ``max_hamming`` (≤3 guaranteed found:
     4 chunks of 16 bits — pigeonhole). Bucket-join on matching chunks,
     then exact popcount verify via JVM bit_count."""
-    sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
     chunked = sh.select(
         "_id",
         "simhash",
