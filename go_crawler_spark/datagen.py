@@ -67,21 +67,25 @@ def asset_urls_of_index(i: int) -> List[str]:
     return out
 
 
-def link_targets_of_index(i: int, n_pages: int, seed: int) -> List[int]:
+def link_targets_of_index(
+    i: int, n_pages: int, seed: int, branching: int = 3
+) -> List[int]:
     """Deterministic same-host out-links (same host ⇔ same index class
     mod L). Tree-shaped within each host class — class-index k links to
-    class children 3k+1..3k+3 — giving the wide, shallow frontier growth
-    of a real site (BFS depth ≈ log₃ of the host's page count), plus a
-    back-link to the parent (dedup exercise) and one strided neighbor."""
+    class children B·k+1..B·k+B — giving the wide, shallow frontier growth
+    of a real site (BFS depth ≈ log_B of the host's page count), plus a
+    back-link to the parent (dedup exercise) and one strided neighbor.
+    ``branching`` controls B; higher B ⇒ wider rounds / shallower crawl
+    (the bench uses a high B so per-round work dominates round count)."""
     k = i // L  # index within the host's page class
     cls = i % L
     out = []
-    for c in range(3 * k + 1, 3 * k + 4):  # tree children
+    for c in range(branching * k + 1, branching * k + branching + 1):  # tree children
         t = cls + c * L
         if t < n_pages:
             out.append(t)
     if k > 0:
-        out.append(cls + ((k - 1) // 3) * L)  # parent back-link
+        out.append(cls + ((k - 1) // branching) * L)  # parent back-link
     rng = random.Random((seed << 20) ^ i)
     sib = cls + (k + 1 + rng.randrange(3)) * L  # a near sibling
     if sib < n_pages:
@@ -89,10 +93,16 @@ def link_targets_of_index(i: int, n_pages: int, seed: int) -> List[int]:
     return out
 
 
-def page_html(i: int, n_pages: int, seed: int) -> bytes:
+def page_html(
+    i: int,
+    n_pages: int,
+    seed: int,
+    branching: int = 3,
+    words: tuple[int, int] = (20, 50),
+) -> bytes:
     h = host_of_index(i)
     rng = random.Random((seed << 21) ^ i)
-    targets = link_targets_of_index(i, n_pages, seed)
+    targets = link_targets_of_index(i, n_pages, seed, branching)
 
     links = []
     for m, t in enumerate(targets):
@@ -116,8 +126,9 @@ def page_html(i: int, n_pages: int, seed: int) -> bytes:
         '<link rel="icon" href="/favicon.ico"/>',  # non-stylesheet link: ignored
     ]
 
-    words = " ".join(
-        f"word{rng.randrange(1000)}" for _ in range(20 + rng.randrange(30))
+    lo, hi = words
+    body_words = " ".join(
+        f"word{rng.randrange(1000)}" for _ in range(lo + rng.randrange(max(hi - lo, 1)))
     )
     body = f"""<!DOCTYPE html>
 <html>
@@ -131,7 +142,7 @@ def page_html(i: int, n_pages: int, seed: int) -> bytes:
 <BODY>
   <h1>Synthetic page {i}</h1>
   {assets[2]}
-  <p>{words}</p>
+  <p>{body_words}</p>
   <ul>
     {"".join(f"<li>{a}</li>" for a in links)}
   </ul>
@@ -146,8 +157,14 @@ def asset_content(url: str) -> bytes:
     return (f"/* asset body of {url} */" + "x" * (len(url) % 64)).encode("utf-8")
 
 
-def corpus_row(i: int, n_pages: int, seed: int) -> Tuple[str, dt.datetime, bytes, str, str]:
-    html = page_html(i, n_pages, seed)
+def corpus_row(
+    i: int,
+    n_pages: int,
+    seed: int,
+    branching: int = 3,
+    words: tuple[int, int] = (20, 50),
+) -> Tuple[str, dt.datetime, bytes, str, str]:
+    html = page_html(i, n_pages, seed, branching, words)
     return (
         page_url(i),
         EPOCH + dt.timedelta(seconds=i),
@@ -164,7 +181,13 @@ def all_asset_urls(n_pages: int) -> List[str]:
     return sorted(urls)
 
 
-def generate_pages_df(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+def generate_pages_df(
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    branching: int = 3,
+    words: tuple[int, int] = (20, 50),
+) -> DataFrame:
     """Distributed corpus: page rows + asset rows (assets are fetchable
     members of the corpus with empty text). No driver-side materialization
     — page AND per-page asset rows derive from the page index inside
@@ -174,7 +197,7 @@ def generate_pages_df(spark: SparkSession, n_pages: int, seed: int = 42) -> Data
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                rows.append(corpus_row(int(i), n_pages, seed))
+                rows.append(corpus_row(int(i), n_pages, seed, branching, words))
                 img = asset_urls_of_index(int(i))[2]  # unique per-page asset
                 rows.append((img, EPOCH, asset_content(img), "", ""))
             yield pd.DataFrame(
@@ -192,9 +215,14 @@ def generate_pages_df(spark: SparkSession, n_pages: int, seed: int = 42) -> Data
     return pages.unionByName(assets)
 
 
-def generate_corpus_dict(n_pages: int, seed: int = 42) -> dict[str, bytes]:
+def generate_corpus_dict(
+    n_pages: int,
+    seed: int = 42,
+    branching: int = 3,
+    words: tuple[int, int] = (20, 50),
+) -> dict[str, bytes]:
     """The same universe as a url→html dict for the pure-Python simulator."""
-    d = {page_url(i): page_html(i, n_pages, seed) for i in range(n_pages)}
+    d = {page_url(i): page_html(i, n_pages, seed, branching, words) for i in range(n_pages)}
     for u in all_asset_urls(n_pages):
         d[u] = asset_content(u)
     return d

@@ -39,8 +39,12 @@ def first_writer_dedup(df: DataFrame, key: str, order_cols: Sequence[str]) -> Da
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "url") -> DataFrame:
-    """Exact cross-round dedup (ref: queue.go:92-96)."""
-    return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
+    """Exact cross-round dedup (ref: queue.go:92-96).
+
+    ``seen`` need not be unique: left_anti semantics are per-probe-row, so
+    duplicate build-side keys change nothing — no distinct/shuffle of the
+    (huge, growing) seen table is ever needed."""
+    return candidates.join(seen.select(key), on=key, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from typing import Iterator, List, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 # below this row count a single-task sort beats the two extra passes the
 # range-partition scheme needs (sampling runs once per action)
@@ -108,3 +108,177 @@ def assign_global_seq_counted(
             yield pdf
 
     return parted.mapInPandas(add_seq, schema), by_value
+
+
+def assign_seq_admit_budget_bucketed(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    bucket: "F.Column",
+    page_budget: int,
+    seq_start: int,
+    kind_col: str = "kind",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused Q2 (page budget) + Q3 (global FIFO seq) — deterministic-bucket
+    variant, the cheapest correct scheme when the caller can derive an
+    *order-aligned* integer bucket from the order key (bucket b < b' ⇒
+    every row of b precedes every row of b'; ties within a bucket broken by
+    ``order_cols``).
+
+    Versus the range-partition variant this removes BOTH hidden
+    materializations per call: ``repartitionByRange``'s sampling job and
+    the eager ``localCheckpoint`` (needed there only because range
+    boundaries are re-sampled per action). Hash-partitioning by a
+    deterministic bucket value is stable across jobs, so the counts pass
+    and the assignment pass share one reusable shuffle — two jobs, no
+    extra copy of the data, no driver-side sort state beyond one
+    (rows, pages) pair per bucket.
+
+    In the crawl: children buckets come from ``parent_seq`` slices (the
+    driver knows the frontier's seq range — FIFO order is inherited from
+    the previous round); distributed seed frontiers bucket by the top bits
+    of ``xxhash64(url)`` with order key (hash, url)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sort_cols = [F.col("_bucket")] + [F.col(c) for c in order_cols]
+    parted = (
+        df.withColumn("_bucket", bucket.cast("long"))
+        .repartition(n, "_bucket")
+        .sortWithinPartitions(*sort_cols)
+    )
+    counts_rows = (
+        parted.groupBy("_bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col(kind_col) == "page", 1).otherwise(0)).alias("pages"),
+        )
+        .collect()
+    )
+    counts = {r["_bucket"]: (r["rows"], r["pages"]) for r in counts_rows}
+    offs: dict[int, tuple[int, int]] = {}
+    acc_pages, acc_adm = 0, seq_start
+    for b in sorted(counts):
+        rows_b, pages_b = counts[b]
+        adm_pages_b = min(max(page_budget - acc_pages, 0), pages_b)
+        offs[b] = (acc_pages, acc_adm)
+        acc_adm += (rows_b - pages_b) + adm_pages_b
+        acc_pages += pages_b
+
+    schema = StructType(
+        [f for f in parted.schema.fields if f.name != "_bucket"]
+        + [StructField("admitted", BooleanType(), False), StructField("seq", LongType(), True)]
+    )
+    b_offs = df.sparkSession.sparkContext.broadcast(offs)
+
+    def verdict(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        offsets = b_offs.value
+        state: dict[int, tuple[int, int]] = {}  # bucket -> (pages_done, adm_done)
+        for pdf in pdf_iter:
+            buckets = pdf["_bucket"].to_numpy()
+            is_page_all = (pdf[kind_col] == "page").to_numpy()
+            admitted_out = np.zeros(len(pdf), dtype=bool)
+            seq_out = np.zeros(len(pdf), dtype=np.int64)
+            # bucket runs are contiguous (partition sorted by bucket first)
+            run_starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+            run_ends = np.r_[run_starts[1:], len(buckets)] if len(run_starts) else []
+            for s, e in zip(run_starts, run_ends):
+                b = int(buckets[s])
+                p_off, a_off = offsets[b]
+                p_done, a_done = state.get(b, (0, 0))
+                is_page = is_page_all[s:e]
+                ranks = (p_off + p_done) + np.cumsum(is_page) - is_page
+                admitted = (~is_page) | (ranks < page_budget)
+                seqs = (a_off + a_done) + np.cumsum(admitted) - admitted
+                admitted_out[s:e] = admitted
+                seq_out[s:e] = seqs
+                state[b] = (p_done + int(is_page.sum()), a_done + int(admitted.sum()))
+            out = pdf.drop(columns=["_bucket"]).copy()
+            out["admitted"] = admitted_out
+            out["seq"] = pd.array(seq_out, dtype="Int64")
+            out.loc[~admitted_out, "seq"] = pd.NA
+            yield out
+
+    return parted.mapInPandas(verdict, schema)
+
+
+def assign_seq_admit_budget(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    page_budget: int,
+    seq_start: int,
+    kind_col: str = "kind",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused Q2 (page budget) + Q3 (global FIFO seq) for large rounds.
+
+    One range-partitioning by the canonical order key, one tiny per-partition
+    counts job, one ``mapInPandas`` emitting both the admission verdict and
+    the contiguous global sequence — replacing the naive
+    ``orderBy().limit(budget)`` (whose TakeOrderedAndProject merges
+    partitions·budget rows on a single task) + refused anti-join + separate
+    seq passes. Semantics are exactly queue.go:88-114: iterate candidates in
+    FIFO order; pages admitted while budget lasts, non-pages always
+    admitted; refused pages keep ``seq = NULL`` (they still enter *seen*,
+    queue.go:92-106).
+
+    Scale shape: per-partition offsets are |partitions| ints on the driver;
+    all row work is partition-local and Arrow-vectorized.
+    """
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # materialize the range partitioning once so the counts pass and the
+    # assignment pass see identical partitions (see assign_global_seq_counted)
+    parted = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=True)
+    )
+    counts_df = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col(kind_col) == "page", 1).otherwise(0)).alias("pages"),
+        )
+    )
+    counts = {r["_pid"]: (r["rows"], r["pages"]) for r in counts_df.collect()}
+    page_off: dict[int, int] = {}
+    adm_off: dict[int, int] = {}
+    acc_pages, acc_adm = 0, seq_start
+    for pid in range(max(counts.keys(), default=-1) + 1):
+        rows_p, pages_p = counts.get(pid, (0, 0))
+        page_off[pid] = acc_pages
+        adm_pages_p = min(max(page_budget - acc_pages, 0), pages_p)
+        adm_off[pid] = acc_adm
+        acc_adm += (rows_p - pages_p) + adm_pages_p
+        acc_pages += pages_p
+
+    schema = StructType(
+        parted.schema.fields
+        + [StructField("admitted", BooleanType(), False), StructField("seq", LongType(), True)]
+    )
+    b = df.sparkSession.sparkContext.broadcast((page_off, adm_off, page_budget))
+
+    def verdict(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        p_off, a_off, budget = b.value
+        pid = TaskContext.get().partitionId()
+        page_rank = p_off.get(pid, 0)
+        seq = a_off.get(pid, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.copy()
+            is_page = (pdf[kind_col] == "page").to_numpy()
+            ranks = page_rank + np.cumsum(is_page) - is_page  # exclusive cumsum
+            admitted = (~is_page) | (ranks < budget)
+            seqs = seq + np.cumsum(admitted) - admitted
+            pdf["admitted"] = admitted
+            pdf["seq"] = pd.array(np.where(admitted, seqs, 0), dtype="Int64")
+            pdf.loc[~admitted, "seq"] = pd.NA
+            page_rank += int(is_page.sum())
+            seq += int(admitted.sum())
+            yield pdf
+
+    return parted.mapInPandas(verdict, schema)

@@ -70,7 +70,6 @@ from go_crawler_spark.functions.urls import (
     page_save_path_udf,
     registrable_host_udf,
 )
-from go_crawler_spark.operators.budget import apply_page_budget
 from go_crawler_spark.operators.dedup import (
     BloomFilter,
     dedup_against_seen,
@@ -78,7 +77,10 @@ from go_crawler_spark.operators.dedup import (
 )
 from go_crawler_spark.operators.fetch import fetch_hits, fetch_round
 from go_crawler_spark.operators.politeness import apply_robots, assign_fetch_slots
-from go_crawler_spark.operators.sequence import SMALL_INPUT_ROWS, assign_global_seq_counted
+from go_crawler_spark.operators.sequence import (
+    SMALL_INPUT_ROWS,
+    assign_seq_admit_budget_bucketed,
+)
 
 ORDER_COLS = ["parent_seq", "pos"]  # canonical within-round discovery order
 
@@ -127,6 +129,30 @@ def seeds_enqueue(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> Da
         rows.append((u, "page", 0, i if admitted else None, None, admitted, 0))
     df = spark.createDataFrame(rows, ENQUEUE_SCHEMA)
     return df.withColumn("host", registrable_host_udf("url"))
+
+
+def seeds_enqueue_df(seeds_df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Initial Push of a *distributed* seed frontier (10^10-URL regime: the
+    seed list is itself a table, e.g. a prior crawl's export — it never
+    touches the driver). Canonical seed order is ``(xxhash64(url), url)``
+    — a deterministic total order whose top hash bits double as the
+    order-aligned bucket key, so budget+seq assignment needs no range
+    sampling (operators/sequence.py). Dedup + budget follow
+    queue.go:88-114 like the list path."""
+    uniq = seeds_df.select("url").distinct().withColumn("_h", F.xxhash64("url"))
+    out = assign_seq_admit_budget_bucketed(
+        uniq.withColumn("kind", F.lit("page")).withColumn("depth", F.lit(0)),
+        ["_h", "url"],
+        bucket=F.shiftright(F.col("_h"), 58) + F.lit(32),  # top 6 bits, order-aligned
+        page_budget=cfg.max_count,
+        seq_start=0,
+    )
+    return out.select(
+        "url", "kind", "depth", "seq",
+        registrable_host_udf("url").alias("host"),
+        "admitted",
+        F.lit(0).alias("enqueue_round"),
+    )
 
 
 def _enqueue_small(
@@ -186,28 +212,30 @@ def _enqueue_small(
 def _enqueue_large(
     new_urls: DataFrame, budget_remaining: int, seq_start: int, rnd: int
 ) -> DataFrame:
-    """Distributed path for huge rounds: ordered-limit budget (top-K) +
-    two-pass range-partitioned seq assignment."""
-    admitted, refused = apply_page_budget(new_urls, budget_remaining, ORDER_COLS)
-    admitted, _counts = assign_global_seq_counted(
-        admitted.select("url", "kind", "depth", *ORDER_COLS),
-        ORDER_COLS,
-        start=seq_start,
+    """Distributed path for huge rounds: budget verdict + contiguous seq in
+    ONE fused pass (operators/sequence.py) — no single-task top-K merge, no
+    refused anti-join, no extra count actions, and (bucketed variant) no
+    range-sampling job / checkpoint copy: the canonical order key leads
+    with ``parent_seq``, whose range [0, seq_start) the driver already
+    knows, so order-aligned buckets are a pure expression."""
+    nb = 4 * new_urls.sparkSession.sparkContext.defaultParallelism
+    hi = max(seq_start, 1)
+    bucket = F.least(
+        F.floor(F.col("parent_seq") * F.lit(nb) / F.lit(hi)), F.lit(nb - 1)
     )
-    admitted = admitted.select(
+    out = assign_seq_admit_budget_bucketed(
+        new_urls.select("url", "kind", "depth", *ORDER_COLS),
+        ORDER_COLS,
+        bucket=bucket,
+        page_budget=budget_remaining,
+        seq_start=seq_start,
+    )
+    return out.select(
         "url", "kind", "depth", "seq",
         registrable_host_udf("url").alias("host"),
-        F.lit(True).alias("admitted"),
+        "admitted",
         F.lit(rnd).alias("enqueue_round"),
     )
-    refused_rows = refused.select(
-        "url", "kind", "depth",
-        F.lit(None).cast("long").alias("seq"),
-        registrable_host_udf("url").alias("host"),
-        F.lit(False).alias("admitted"),
-        F.lit(rnd).alias("enqueue_round"),
-    )
-    return admitted.unionByName(refused_rows)
 
 
 def _absorb(
@@ -292,7 +320,7 @@ def resume_crawl(
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
-    seeds: List[str],
+    seeds: "List[str] | DataFrame",
     cfg: CrawlConfig,
     robots: Optional[DataFrame] = None,
     workdir: Optional[str] = None,
@@ -318,9 +346,16 @@ def run_crawl(
     politeness_mode = cfg.host_slots_per_round > 0 or robots is not None
 
     if _resume_from is None:
-        enq0 = _write(seeds_enqueue(spark, seeds, cfg), os.path.join(workdir, "enqueue_0"))
+        t = time.perf_counter()
+        enq0_df = (
+            seeds_enqueue_df(seeds, cfg)
+            if isinstance(seeds, DataFrame)
+            else seeds_enqueue(spark, seeds, cfg)
+        )
+        enq0 = _write(enq0_df, os.path.join(workdir, "enqueue_0"))
         bloom = BloomFilter(cfg.bloom_bits, cfg.bloom_hashes) if cfg.use_bloom else None
         bloom, counts0 = _absorb(enq0, cfg, bloom)
+        t = _tick("seeds", t)
         n_frontier = sum(v for (adm, _k), v in counts0.items() if adm)
         pages_enqueued = sum(v for (adm, k), v in counts0.items() if adm and k == "page")
         seq_next = n_frontier
@@ -473,7 +508,10 @@ def run_crawl(
             )
         rnd += 1
 
-    return _assemble_result(spark, workdir, rnd, cfg)
+    t = time.perf_counter()
+    result = _assemble_result(spark, workdir, rnd, cfg)
+    _tick("assemble", t)
+    return result
 
 
 def _assemble_result(spark: SparkSession, workdir: str, rounds: int, cfg: CrawlConfig) -> CrawlResult:

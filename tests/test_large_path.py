@@ -54,3 +54,33 @@ def test_seq_small_path(spark):
     out = assign_global_seq(df, ["key"], start=0)
     rows = sorted((r["key"], r["seq"]) for r in out.collect())
     assert [s for _, s in rows] == list(range(500))
+
+
+def test_assign_seq_admit_budget_edges(spark):
+    from go_crawler_spark.operators.sequence import assign_seq_admit_budget
+
+    # interleaved pages/assets in a scrambled input order; canonical order = key
+    rows = [(f"u{k}", "page" if k % 3 != 0 else "asset", k) for k in range(200)]
+    df = spark.createDataFrame(rows, "url string, kind string, key int").repartition(7)
+
+    out = assign_seq_admit_budget(df, ["key"], page_budget=50, seq_start=10,
+                                  num_partitions=5).collect()
+    by_key = {r["key"]: r for r in out}
+    budget = 50
+    seq = 10
+    for k in range(200):
+        r = by_key[k]
+        if r["kind"] == "page" and budget <= 0:
+            assert not r["admitted"] and r["seq"] is None, k
+        else:
+            assert r["admitted"] and r["seq"] == seq, k
+            seq += 1
+            if r["kind"] == "page":
+                budget -= 1
+
+    # budget 0: every page refused, every asset admitted with contiguous seq
+    out0 = assign_seq_admit_budget(df, ["key"], page_budget=0, seq_start=0,
+                                   num_partitions=3).collect()
+    assets = sorted((r["key"], r["seq"]) for r in out0 if r["kind"] == "asset")
+    assert [s for _, s in assets] == list(range(len(assets)))
+    assert all(r["seq"] is None and not r["admitted"] for r in out0 if r["kind"] == "page")
