@@ -399,6 +399,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3)
 
+    def robots_gate(spark, sf):
+        # robots disallow-prefix gate [EXTENSION]: frontier URLs vs a
+        # per-host rules table (operators/politeness.py apply_robots)
+        from go_crawler_spark.operators.politeness import apply_robots
+
+        docs = _t(spark, sf, "documents")
+        frontier = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit("/d"),
+                (F.col("doc_id") % 20).cast("string"), F.lit("/"),
+                F.col("doc_id").cast("string"), F.lit(".html"),
+            ).alias("url"),
+            F.col("source").alias("host"),
+            F.col("doc_id").alias("seq"),
+        )
+        robots = (
+            docs.select(F.col("source").alias("host"))
+            .distinct()
+            .select(
+                "host",
+                F.explode(F.array(F.lit("/d3/"), F.lit("/d7/"))).alias("disallow_prefix"),
+            )
+        )
+        allowed, _blocked = apply_robots(frontier, robots)
+        return allowed.select(F.col("seq").alias("doc_id"), "host")
+
     def multimodal_features(spark, sf):
         from go_crawler_spark.operators.multimodal import (
             extract_features,
@@ -431,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_kind": classify_kind,
         "retry_backoff_schedule": retry_backoff_schedule,
         "politeness_topk_per_host": politeness_topk_per_host,
+        "robots_gate": robots_gate,
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -553,6 +580,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    row_number() OVER (ORDER BY doc_id) - 1 AS seq
             FROM documents
+        """,
+        "robots_gate": """
+            SELECT doc_id, source AS host FROM documents
+            WHERE doc_id % 20 NOT IN (3, 7)
         """,
         "token_counts": f"""
             SELECT doc_id,

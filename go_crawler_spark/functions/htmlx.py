@@ -193,6 +193,60 @@ def _attr_value_re(attr: str) -> re.Pattern:
 _WRITE_ATTR = {"script": "src", "img": "src", "link": "href", "a": "href"}
 
 
+def parse_page(page_url: str, html: bytes) -> tuple[list[tuple[str, str, int]], bytes]:
+    """ONE DOM parse producing BOTH the resolved children (==
+    ``resolve_links_and_assets``) and the rewritten page bytes (==
+    ``rewrite_html``) — byte-identical to calling the two separately,
+    at half the parse CPU and, in the crawl plan, half the Arrow traffic
+    (the ~KB html column crosses the Python boundary once, not twice).
+
+    ref: parse internal/pageparser.go:28-68 + transform internal/
+    models.go:83-110 — the reference also runs these on the same item in
+    one worker pass (main.go:184-252 parse stage feeding save's Transform).
+    """
+    if not html:
+        return [], html
+    s = html.decode("latin-1")
+    p = _CollectParser()
+    p.feed_text(s)
+    page_host = host_of(page_url)
+    page_path = page_save_path(page_url)
+
+    children: list[tuple[str, str, int]] = []
+    edits: list[tuple[int, int, str]] = []
+    for pos, (tag, src, off, raw) in enumerate(p.found):
+        resolved = canonicalize(page_url, src)
+        if resolved is None or host_of(resolved) != page_host:
+            continue
+        kind = "page" if tag == "a" else "asset"
+        children.append((kind, resolved, pos))
+        local = link_target_save_path(resolved) if tag == "a" else asset_save_path(resolved)
+        new_url = make_relative_url(page_path, local)
+        attr = _WRITE_ATTR[tag]
+        m = _attr_value_re(attr).search(raw)
+        if not m:
+            continue
+        old_val = m.group(2)
+        if old_val.startswith(("\"", "'")):
+            new_val = old_val[0] + new_url + old_val[0]
+        else:
+            new_val = new_url
+        edits.append((off + m.start(2), off + m.end(2), new_val))
+
+    if not edits:
+        return children, html
+    out: list[str] = []
+    cursor = 0
+    for start, end, repl in sorted(edits):
+        if start < cursor:  # overlapping duplicate attr matches: keep first
+            continue
+        out.append(s[cursor:start])
+        out.append(repl)
+        cursor = end
+    out.append(s[cursor:])
+    return children, "".join(out).encode("latin-1")
+
+
 def rewrite_html(html: bytes, page_url: str) -> bytes:
     """Rewrite same-host resource URLs to relative local paths, in place.
 
@@ -303,6 +357,31 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_text(h) if h is not None else "" for h in html], dtype=object
     )
+
+
+PARSE_PAGE_SCHEMA = StructType(
+    [
+        StructField("children", EXTRACT_SCHEMA),
+        StructField("html_out", BinaryType()),
+    ]
+)
+
+
+@pandas_udf(PARSE_PAGE_SCHEMA)
+def parse_page_udf(page_url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Fused extract+rewrite (see ``parse_page``): one parse, one Arrow
+    round-trip for the heavy html column."""
+    children: list = []
+    html_out: list = []
+    for u, h in zip(page_url, html):
+        if h is None or u is None:
+            children.append([])
+            html_out.append(h)
+        else:
+            c, ho = parse_page(u, h)
+            children.append(c)
+            html_out.append(ho)
+    return pd.DataFrame({"children": children, "html_out": html_out})
 
 
 @pandas_udf(BinaryType())

@@ -29,12 +29,20 @@ from pyspark.sql.types import BooleanType
 
 def first_writer_dedup(df: DataFrame, key: str, order_cols: Sequence[str]) -> DataFrame:
     """Keep the first row per ``key`` in the total order ``order_cols``
-    (ref: queue.go:92-96 — Push returns false for later writers)."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    (ref: queue.go:92-96 — Push returns false for later writers).
+
+    ``min_by`` aggregation, not a window: a window must shuffle EVERY row
+    and sort each partition; groupBy+min_by gets map-side partial
+    aggregation, so duplicate URLs collapse before the exchange — at crawl
+    scale most children are duplicates (back-links, shared assets) and the
+    shuffle shrinks accordingly. Deterministic because ``order_cols`` is a
+    total order (no min_by ties)."""
+    others = [c for c in df.columns if c != key]
+    order_struct = F.struct(*[F.col(c) for c in order_cols])
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(key)
+        .agg(F.min_by(F.struct(*others), order_struct).alias("_w"))
+        .select(key, *[F.col(f"_w.{c}").alias(c) for c in others])
     )
 
 

@@ -149,6 +149,69 @@ def minhash_signatures(
     ).withColumnRenamed("_mid", id_col)
 
 
+def minhash_band_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id_col, band_idx, band_hash)`` — k-permutation minhash AND LSH
+    banding fused in one vectorized pass.
+
+    Banding as a JVM expression (transform over sequence + slice +
+    concat_ws + xxhash64 lambdas) generates enormous whole-stage code whose
+    first Janino compilation costs tens of seconds; folding the band hash
+    into the numpy stage that already holds the (k, n) minhash matrix is
+    both compile-cheap and one fewer pass. The band hash is a splitmix-style
+    fold of the band's minhash values — deterministic across runs."""
+    a, b = _minhash_params(n_hashes, seed)
+    rpb = n_hashes // n_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        au = a.astype(np.uint64)[:, None]
+        bu = b.astype(np.uint64)[:, None]
+        mers = np.uint64(_MERSENNE)
+        mix1 = np.uint64(0x9E3779B97F4A7C15)
+        mix2 = np.uint64(0xBF58476D1CE4E5B9)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            mins = np.empty((n, n_hashes), dtype=np.uint64)
+            for j, hs in enumerate(pdf["_shingle_hashes"]):
+                if hs is None or len(hs) == 0:
+                    mins[j, :] = mers
+                    continue
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                mins[j, :] = ((au * h[None, :] + bu) % mers).min(axis=1)
+            banded = mins.reshape(n, n_bands, rpb)
+            bh = np.full((n, n_bands), mix1, dtype=np.uint64)
+            for r in range(rpb):
+                bh = (bh ^ (banded[:, :, r] + mix1)) * mix2
+            ids = np.repeat(pdf["_mid"].to_numpy(), n_bands)
+            yield pd.DataFrame(
+                {
+                    "_mid": ids,
+                    "band_idx": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "band_hash": bh.reshape(-1).astype(np.int64),
+                }
+            )
+
+    shingled = ensure_cpu_parallelism(df).select(
+        F.col(id_col).alias("_mid"),
+        F.transform(token_ngrams(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "_shingle_hashes"
+        ),
+    )
+    id_type = dict(df.dtypes)[id_col]
+    return shingled.mapInPandas(
+        run, f"_mid {id_type}, band_idx int, band_hash long"
+    ).withColumnRenamed("_mid", id_col)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
@@ -246,11 +309,29 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH buckets → exact verify.
 
-    ``pairs`` is persisted: the verify step consumes it twice (candidate-id
-    semi-join + the pair join) and without a persist each consumer would
-    recompute the whole signature pipeline."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, n_hashes // n_bands).persist()
+    ``sigs`` and ``pairs`` are persisted AND materialized (count action)
+    before their multi-branch consumers: the band self-join scans ``sigs``
+    twice and the verify step scans ``pairs`` twice (candidate-id semi-join
+    + the pair join). A lazy persist is not enough — both branch scans of
+    one job start against a cold cache and each recomputes the full
+    signature lineage (observed 3× cost). Sig cache is ~(8·k+len(id)) B/doc
+    — at 10^9 docs and k=64 that is ~0.5 TB spread over the cluster, the
+    standard MinHashLSH trade."""
+    banded = minhash_band_hashes(
+        df, text_col, id_col, n_hashes, n_bands, shingle_n, seed
+    ).persist()
+    banded.count()
+    left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    pairs = (
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    pairs.count()
+    banded.unpersist()
     return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold)
 
 
@@ -305,8 +386,12 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` (≤3 guaranteed found:
     4 chunks of 16 bits — pigeonhole). Bucket-join on matching chunks,
-    then exact popcount verify via JVM bit_count."""
-    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
+    then exact popcount verify via JVM bit_count.
+
+    ``sh`` is persisted+materialized: the chunk self-join scans it twice
+    and would otherwise run the simhash Python stage twice (16 B/doc)."""
+    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash").persist()
+    sh.count()
     chunked = sh.select(
         "_id",
         "simhash",
@@ -382,9 +467,12 @@ def embedding_near_dups(
             out.append(sum(int(s) << i for i, s in enumerate(signs)))
         return pd.Series(out, dtype="int64")
 
-    bucketed = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).withColumn("bucket", bucket_udf("_vec"))
+    bucketed = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("bucket", bucket_udf("_vec"))
+        .persist()  # self-join scans twice; avoid double UDF projection
+    )
+    bucketed.count()
     a = bucketed.select(
         F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"), "bucket"
     )

@@ -64,7 +64,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_crawler_spark.config import CrawlConfig
-from go_crawler_spark.functions.htmlx import extract_resolved_udf, rewrite_html_udf
+from go_crawler_spark.functions.htmlx import parse_page_udf
 from go_crawler_spark.functions.urls import (
     asset_save_path_udf,
     page_save_path_udf,
@@ -433,17 +433,42 @@ def run_crawl(
         )
 
         # J1 — fetch (one corpus scan; hits persisted, consumed twice) +
-        # size gate + link extraction stored as an array column (P1-P6;
-        # assets skip parse, main.go:207; a skipped page extracts nothing)
+        # size gate + ONE fused parse producing children AND the rewritten
+        # page bytes (P1-P6 + T1 in a single Arrow pass — the html column
+        # crosses the Python boundary once; assets skip parse, main.go:207;
+        # a skipped page parses to nothing). save_path (S5) lands here too,
+        # so the fetched log doubles as the pages sink — pages_out is a
+        # column-pruned view of these files, not a second copy.
         hits = fetch_hits(fetch_now, pages).persist()
         fetched = fetch_round(fetch_now, hits, cfg.max_file_size).withColumn(
             "round", F.lit(rnd)
         )
-        fetched = fetched.withColumn(
-            "children",
-            F.when(
-                F.col("kind") == "page", extract_resolved_udf("url", "html")
-            ).otherwise(F.lit(None).cast("array<struct<kind:string,url:string,pos:int>>")),
+        child_t = "array<struct<kind:string,url:string,pos:int>>"
+        parsed = F.when(
+            (F.col("kind") == "page") & F.col("html").isNotNull(),
+            parse_page_udf("url", "html"),
+        )
+        fetched = (
+            fetched.withColumn("_p", parsed)
+            .withColumn(
+                "children",
+                F.when(
+                    F.col("kind") == "page",
+                    F.coalesce(F.col("_p.children"), F.lit([]).cast(child_t)),
+                ).otherwise(F.lit(None).cast(child_t)),
+            )
+            .withColumn(
+                "html",
+                F.when(F.col("_p").isNotNull(), F.col("_p.html_out")).otherwise(
+                    F.col("html")
+                ),
+            )
+            .withColumn(
+                "save_path",
+                F.when(F.col("kind") == "page", page_save_path_udf("url"))
+                .otherwise(asset_save_path_udf("url")),
+            )
+            .drop("_p")
         )
         fetched = _write(fetched, os.path.join(workdir, f"fetched_{rnd}"))
         hits.unpersist()
@@ -554,22 +579,16 @@ def _assemble_result(spark: SparkSession, workdir: str, rounds: int, cfg: CrawlC
         if blocked is not None:
             fetched = fetched.unionByName(blocked)
 
-    # S4/S5/T1 sink: rewrite page html, resolve save paths, keep skipped
-    # rows (row-preserving skip, SURVEY §3.2)
+    # S4/S5/T1 sink: the fetched log already holds the rewritten html and
+    # save_path (fused into J1), so the sink table is a column-pruned VIEW
+    # of those parquet files — zero extra copy, row-preserving skip
+    # (SURVEY §3.2) included.
     pages_out = None
     if raw_fetched is not None:
         pages_out = raw_fetched.select(
-            "url", "warc_ts",
-            F.when(
-                (F.col("kind") == "page") & F.col("html").isNotNull(),
-                rewrite_html_udf("html", "url"),
-            ).otherwise(F.col("html")).alias("html"),
-            "text", "lang", "status", "kind", "depth",
-            F.when(F.col("kind") == "page", page_save_path_udf("url"))
-            .otherwise(asset_save_path_udf("url")).alias("save_path"),
-            "round",
+            "url", "warc_ts", "html", "text", "lang",
+            "status", "kind", "depth", "save_path", "round",
         )
-        pages_out = _write(pages_out, os.path.join(workdir, "pages_out"))
 
     # metrics from the stored children arrays — zero-filled per round
     all_rounds = spark.range(rounds).select(F.col("id").cast("int").alias("round"))

@@ -153,3 +153,32 @@ class TestRewrite:
 
     def test_empty(self):
         assert rewrite_html(b"", PAGE) == b""
+
+
+def test_parse_page_equals_extract_plus_rewrite():
+    """The fused single-parse path (parse_page) must be byte-identical to
+    the separate extract + rewrite functions on every corpus page and the
+    golden fixture."""
+    import pathlib
+
+    from go_crawler_spark.datagen import page_html, page_url
+    from go_crawler_spark.functions.htmlx import (
+        parse_page,
+        resolve_links_and_assets,
+        rewrite_html,
+    )
+
+    for i in range(80):
+        u, h = page_url(i), page_html(i, 300, 11, 4, (10, 60))
+        children, html_out = parse_page(u, h)
+        assert children == resolve_links_and_assets(u, h), (i, u)
+        assert html_out == rewrite_html(h, u), (i, u)
+
+    for f in pathlib.Path(__file__).parent.glob("testdata/*.html"):
+        h = f.read_bytes()
+        u = "https://www.sheldonbrown.com/web_sample1.html"
+        children, html_out = parse_page(u, h)
+        assert children == resolve_links_and_assets(u, h)
+        assert html_out == rewrite_html(h, u)
+
+    assert parse_page("https://a.com/x.html", b"") == ([], b"")
