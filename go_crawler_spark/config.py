@@ -60,6 +60,9 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20       # bloom filter size in bits
     bloom_hashes: int = 5
     use_bloom: bool = True
+    seen_filter: str = "bloom"      # "bloom" | "cuckoo" | "none"; cuckoo
+                                    # supports delete (TTL re-crawl retirement)
+    cuckoo_buckets: int = 1 << 18   # × 4 slots = ~1M fingerprint capacity
     shuffle_partitions: int = 32
     frontier_buckets: int = 32      # partitioning of frontier/seen by xxhash64(url)
 
@@ -88,4 +91,6 @@ class CrawlConfig:
             raise ValueError("max_file_size must be positive")
         if not self.output_dir:
             raise ValueError("output_dir must be non-empty")
+        if self.seen_filter not in ("bloom", "cuckoo", "none"):
+            raise ValueError("seen_filter must be bloom|cuckoo|none")
         self.retry.validate()

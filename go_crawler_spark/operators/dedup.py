@@ -92,6 +92,10 @@ class BloomFilter:
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         return BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
 
+    def fresh(self) -> "BloomFilter":
+        """Empty filter of the same shape (worker-side builds)."""
+        return BloomFilter(self.n_bits, self.n_hashes)
+
 
 def _with_hashes(df: DataFrame, key: str) -> DataFrame:
     return df.withColumn("_h1", F.xxhash64(F.col(key))).withColumn(
@@ -123,17 +127,17 @@ def build_bloom(seen: DataFrame, key: str, n_bits: int, n_hashes: int) -> BloomF
     return merged
 
 
-def bloom_prefilter(candidates: DataFrame, bloom: BloomFilter, key: str) -> DataFrame:
+def bloom_prefilter(candidates: DataFrame, filt, key: str) -> DataFrame:
     """Split candidates into (definitely-new, maybe-seen): rows whose hashes
-    miss the bloom cannot be in ``seen`` and skip the anti-join shuffle."""
+    miss the filter cannot be in ``seen`` and skip the anti-join shuffle.
+    ``filt`` is any seen-filter object exposing ``might_contain(h1, h2)``
+    (BloomFilter or operators.cuckoo.CuckooFilter)."""
     spark = candidates.sparkSession
-    b = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits))
+    b = spark.sparkContext.broadcast(filt)
 
     @pandas_udf(BooleanType())
     def maybe_seen(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        n_bits, n_hashes, bits = b.value
-        bf = BloomFilter(n_bits, n_hashes, bits)
-        return pd.Series(bf.might_contain(h1.to_numpy(), h2.to_numpy()))
+        return pd.Series(b.value.might_contain(h1.to_numpy(), h2.to_numpy()))
 
     hashed = _with_hashes(candidates, key).withColumn("_maybe", maybe_seen("_h1", "_h2"))
     return hashed
@@ -143,10 +147,10 @@ def dedup_against_seen(
     candidates: DataFrame,
     seen: DataFrame,
     key: str = "url",
-    bloom: Optional[BloomFilter] = None,
+    bloom=None,
 ) -> DataFrame:
-    """Full Q1 cross-round path: optional bloom prune, exact anti-join
-    confirm, union of definite-new and confirmed-new."""
+    """Full Q1 cross-round path: optional bloom/cuckoo prune, exact
+    anti-join confirm, union of definite-new and confirmed-new."""
     if bloom is None:
         return anti_join_seen(candidates, seen, key)
     hashed = bloom_prefilter(candidates, bloom, key)

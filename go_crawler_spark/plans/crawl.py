@@ -3,9 +3,10 @@
 One *round* is a single declarative lineage (SURVEY §3.1 Spark lifecycle):
 
     frontier → [robots] → [politeness split] → fetch join (pages corpus)
-             → extract UDF → explode → depth filter → within-round dedup
-             → anti-join seen (bloom-pruned) → budget-ordered limit
-             → seq assignment → {next frontier, seen ∪, sink append}
+             → fused parse UDF (children + rewritten html, one pass)
+             → explode → depth filter → within-round first-writer dedup
+             → anti-join seen (bloom/cuckoo-pruned) → fused budget+seq
+             → {next frontier, seen ∪, checkpoint}
 
 which replaces the reference's goroutine pipeline (cmd/crawler/main.go:61-90)
 — Spark's task scheduler replaces the hand-rolled worker pools (C2), union
@@ -31,24 +32,27 @@ The scalability constant of an iterative-batch crawler is the number of
 *synchronous driver actions per round*. This loop runs THREE in the
 common case (no politeness/robots):
 
-  J1  fetched write   — corpus lookup + size gate + link extraction, the
-                        extracted children stored as an array column so
-                        the UDF runs exactly once;
-  J2  enqueue write   — depth gate → within-round first-writer dedup →
-                        bloom-pruned anti-join vs seen → budget + seq in
-                        a single ordered pass; admitted and refused rows
-                        land together (the seen delta);
+  J1  fetched write   — corpus lookup + size gate + ONE fused parse per
+                        page (children array + rewritten html + save_path)
+                        so the heavy html column crosses the Python
+                        boundary exactly once and the fetched log doubles
+                        as the pages sink (pages_out = pruned view);
+  J2  enqueue write   — depth gate → within-round first-writer dedup
+                        (map-side min_by) → bloom/cuckoo-pruned anti-join
+                        vs seen → budget + seq in one fused bucketed pass
+                        (operators/sequence.py — no range sampling, no
+                        checkpoint copy, no top-K merge); admitted and
+                        refused rows land together (the seen delta);
   J3  absorb          — one pass over the enqueue delta yielding the
-                        bloom bits per partition AND the admission
+                        per-partition seen-filter builds AND the admission
                         counters the driver loop needs (no extra count()
                         actions).
 
 Politeness/robots add a frontier write + count. Budget+seq use a
 single-task ordered pass while a round's candidate set is small
-(SMALL_INPUT_ROWS) and switch to the distributed ordered-limit +
-range-partitioned two-pass scheme beyond it — at 10^10-URL scale rounds
-are huge and the fixed action count is noise; at small scale the fixed
-action count IS the runtime.
+(SMALL_INPUT_ROWS) and switch to the distributed fused bucketed scheme
+beyond it — at 10^10-URL scale rounds are huge and the fixed action count
+is noise; at small scale the fixed action count IS the runtime.
 """
 
 from __future__ import annotations
@@ -238,17 +242,30 @@ def _enqueue_large(
     )
 
 
-def _absorb(
-    enqueue: DataFrame, cfg: CrawlConfig, bloom: Optional[BloomFilter]
-) -> tuple[Optional[BloomFilter], dict]:
-    """One pass over an enqueue delta: per-partition bloom bits (over ALL
-    rows — refused URLs are seen too) + admission counters. Returns the
-    merged bloom and {(admitted, kind): n}."""
-    if bloom is None:
+def _new_seen_filter(cfg: CrawlConfig):
+    """Seen-prefilter per config: bloom (default), cuckoo (supports URL
+    retirement for TTL re-crawls), or none. Both expose the same API
+    (add_many / might_contain / merge / fresh); both are advisory —
+    the exact anti-join always confirms."""
+    if not cfg.use_bloom or cfg.seen_filter == "none":
+        return None
+    if cfg.seen_filter == "cuckoo":
+        from go_crawler_spark.operators.cuckoo import CuckooFilter
+
+        return CuckooFilter(cfg.cuckoo_buckets)
+    return BloomFilter(cfg.bloom_bits, cfg.bloom_hashes)
+
+
+def _absorb(enqueue: DataFrame, cfg: CrawlConfig, filt) -> tuple[object, dict]:
+    """One pass over an enqueue delta: per-partition seen-filter builds
+    (over ALL rows — refused URLs are seen too) + admission counters.
+    Returns the merged filter and {(admitted, kind): n}. Worker filters
+    travel back pickled (numpy state), merged on the driver."""
+    if filt is None:
         rows = enqueue.groupBy("admitted", "kind").count().collect()
         return None, {(r["admitted"], r["kind"]): r["count"] for r in rows}
 
-    n_bits, n_hashes = cfg.bloom_bits, cfg.bloom_hashes
+    proto = filt.fresh()
     hashed = enqueue.select(
         "admitted", "kind",
         F.xxhash64("url").alias("_h1"),
@@ -256,9 +273,9 @@ def _absorb(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+        import pickle
 
-        bf = BloomFilter(n_bits, n_hashes)
+        bf = proto.fresh()
         counts: dict[tuple, int] = {}
         any_rows = False
         for pdf in batches:
@@ -272,19 +289,17 @@ def _absorb(
         if any_rows:
             yield pd.DataFrame(
                 {
-                    "bits": [bf.bits.tobytes()],
+                    "filt": [pickle.dumps(bf)],
                     "counts": [json.dumps({f"{a}|{k}": v for (a, k), v in counts.items()})],
                 }
             )
 
-    merged = bloom
-    counts: dict[tuple, int] = {}
-    for row in hashed.mapInPandas(run, "bits binary, counts string").collect():
-        import numpy as np
+    import pickle
 
-        merged = merged.merge(
-            BloomFilter(n_bits, n_hashes, np.frombuffer(row["bits"], dtype=np.uint64).copy())
-        )
+    merged = filt
+    counts: dict[tuple, int] = {}
+    for row in hashed.mapInPandas(run, "filt binary, counts string").collect():
+        merged = merged.merge(pickle.loads(row["filt"]))
         for k, v in json.loads(row["counts"]).items():
             a, kind = k.split("|")
             counts[(a == "True", kind)] = counts.get((a == "True", kind), 0) + v
@@ -353,7 +368,7 @@ def run_crawl(
             else seeds_enqueue(spark, seeds, cfg)
         )
         enq0 = _write(enq0_df, os.path.join(workdir, "enqueue_0"))
-        bloom = BloomFilter(cfg.bloom_bits, cfg.bloom_hashes) if cfg.use_bloom else None
+        bloom = _new_seen_filter(cfg)
         bloom, counts0 = _absorb(enq0, cfg, bloom)
         t = _tick("seeds", t)
         n_frontier = sum(v for (adm, _k), v in counts0.items() if adm)
@@ -387,7 +402,7 @@ def run_crawl(
             if d.startswith("enqueue_") and not d.endswith("._tmp")
         ]
         all_enq = spark.read.parquet(*seen_paths)
-        bloom = BloomFilter(cfg.bloom_bits, cfg.bloom_hashes) if cfg.use_bloom else None
+        bloom = _new_seen_filter(cfg)
         if bloom is not None:
             bloom, _ = _absorb(all_enq, cfg, bloom)
         # frontier = admitted ∖ already-fetched (politeness deferral included)
