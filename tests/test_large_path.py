@@ -84,3 +84,33 @@ def test_assign_seq_admit_budget_edges(spark):
     assets = sorted((r["key"], r["seq"]) for r in out0 if r["kind"] == "asset")
     assert [s for _, s in assets] == list(range(len(assets)))
     assert all(r["seq"] is None and not r["admitted"] for r in out0 if r["kind"] == "page")
+
+
+def test_seeds_enqueue_df_dedup_and_budget(spark):
+    """Distributed seed frontier: duplicates collapse, budget admits in the
+    canonical (xxhash64(url), url) order, refused seeds stay seen."""
+    from pyspark.sql import functions as F
+
+    from go_crawler_spark.config import CrawlConfig
+    from go_crawler_spark.plans.crawl import seeds_enqueue_df
+
+    urls = [f"https://h{i % 5}.example.com/p{i}.html" for i in range(200)]
+    seeds = spark.createDataFrame(
+        [(u,) for u in urls + urls[:50]], "url string"  # 50 dups
+    )
+    cfg = CrawlConfig(max_count=120)
+    out = seeds_enqueue_df(seeds, cfg).collect()
+    assert len(out) == 200  # deduped, refused kept
+    admitted = [r for r in out if r["admitted"]]
+    refused = [r for r in out if not r["admitted"]]
+    assert len(admitted) == 120 and len(refused) == 80
+    assert all(r["seq"] is None for r in refused)
+    # canonical order: sorted by (xxhash64(url), url) — first 120 admitted
+    hashed = spark.createDataFrame([(u,) for u in set(urls)], "url string") \
+        .select("url", F.xxhash64("url").alias("h")).collect()
+    order = [r["url"] for r in sorted(hashed, key=lambda r: (r["h"], r["url"]))]
+    assert {r["url"] for r in admitted} == set(order[:120])
+    seqs = sorted(r["seq"] for r in admitted)
+    assert seqs == list(range(120))
+    by_url = {r["url"]: r["seq"] for r in admitted}
+    assert [by_url[u] for u in order[:120]] == list(range(120))
