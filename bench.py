@@ -5,10 +5,11 @@ Default: run the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-``--scaling``: run the same job at two parallelism levels (local[8] = N and
-local[32] = 4N — the sandbox stand-in for N vs 4N executors per
-BASELINE.md) and report throughput at both plus scaling efficiency
-E = (T_N / T_4N) / 4 into BENCH/BASELINE.md.
+``--scaling``: run the same frontier-round job on identical input at
+local[1] (N), local[4] (4N), and local[32], fresh process per level+rep
+(see scaling_report docstring and BASELINE.md "Target protocol"), and
+report throughput at each plus scaling efficiency E = (T_N / T_4N) / 4
+into BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -169,7 +170,7 @@ def frontier_round_bench(
     cfg = CrawlConfig(
         max_count=4 * n_pages,
         use_bloom=True,
-        bloom_bits=1 << 24,
+        bloom_bits=1 << 23,  # few-% FP at ~1M seen; anti-join confirms anyway
         shuffle_partitions=cpus,
     )
     res = run_crawl(
@@ -312,8 +313,11 @@ def scaling_report(sf_dir: str) -> None:
                 pr = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--frontier-level",
                      str(cpus), "--corpus", corpus, "--n-pages", str(SCALING_PAGES)],
-                    check=True, capture_output=True, text=True,
+                    capture_output=True, text=True,
                 )
+                if pr.returncode != 0:
+                    print(pr.stderr[-4000:], file=sys.stderr)
+                    raise RuntimeError(f"level {cpus} rep {r} failed (rc={pr.returncode})")
                 line = [l for l in pr.stdout.splitlines()
                         if l.startswith("FRONTIER_RESULT ")][-1]
                 res = json.loads(line[len("FRONTIER_RESULT "):])

@@ -76,6 +76,8 @@ from go_crawler_spark.functions.urls import (
 )
 from go_crawler_spark.operators.dedup import (
     BloomFilter,
+    anti_join_seen,
+    bloom_prefilter,
     dedup_against_seen,
     first_writer_dedup,
 )
@@ -271,6 +273,13 @@ def _absorb(enqueue: DataFrame, cfg: CrawlConfig, filt) -> tuple[object, dict]:
         F.xxhash64("url").alias("_h1"),
         F.xxhash64("url", F.lit(0x9E3779B9)).alias("_h2"),
     )
+    # driver receives one pickled filter per partition; cap the fan-in so
+    # the collect volume stays bounded (16 × filter size). On a large
+    # cluster this becomes a treeAggregate; 16 builders already saturate a
+    # single driver-side merge.
+    n_parts = hashed.rdd.getNumPartitions()
+    if n_parts > 16:
+        hashed = hashed.coalesce(16)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pickle
@@ -508,15 +517,31 @@ def run_crawl(
         candidates = children.filter(F.col("depth") <= cfg.max_depth)
         budget_remaining = max(cfg.max_count - pages_enqueued, 0)
         small = n_frontier * 64 <= SMALL_INPUT_ROWS  # ≲ avg out-degree bound
+        verdicts = None
         if small:
             # first-writer dedup happens inside the fused ordered pass
             new_urls = dedup_against_seen(candidates, seen, "url", bloom)
             enq = _enqueue_small(new_urls, budget_remaining, seq_next, rnd + 1)
         else:
             candidates = first_writer_dedup(candidates, "url", ORDER_COLS)
-            new_urls = dedup_against_seen(candidates, seen, "url", bloom)
+            if bloom is None:
+                new_urls = dedup_against_seen(candidates, seen, "url", None)
+            else:
+                # evaluate the filter verdict ONCE: the definite-new /
+                # maybe-seen branches below would otherwise each recompute
+                # the python membership pass over all candidates
+                verdicts = bloom_prefilter(candidates, bloom, "url").persist()
+                definitely_new = verdicts.filter(~F.col("_maybe")).drop(
+                    "_h1", "_h2", "_maybe"
+                )
+                maybe = verdicts.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+                new_urls = definitely_new.unionByName(
+                    anti_join_seen(maybe, seen, "url")
+                )
             enq = _enqueue_large(new_urls, budget_remaining, seq_next, rnd + 1)
         enq = _write(enq, os.path.join(workdir, f"enqueue_{rnd + 1}"))
+        if verdicts is not None:
+            verdicts.unpersist()
         seen_paths.append(os.path.join(workdir, f"enqueue_{rnd + 1}"))
         t = _tick("enqueue", t)
 
