@@ -425,6 +425,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         allowed, _blocked = apply_robots(frontier, robots)
         return allowed.select(F.col("seq").alias("doc_id"), "host")
 
+    def _synthetic_edges(spark, sf):
+        # deterministic 2-regular out-link graph over doc_ids (0..N-1
+        # contiguous): dst = (31·id+7) mod N and (17·id+3) mod N — the
+        # same derivation is expressible in the DuckDB oracle
+        docs = _t(spark, sf, "documents").select("doc_id")
+        n = docs.count()
+        e1 = docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 31 + 7) % n).alias("dst")
+        )
+        e2 = docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 17 + 3) % n).alias("dst")
+        )
+        return docs, e1.unionByName(e2)
+
+    def linkgraph_degrees(spark, sf):
+        from go_crawler_spark.operators.linkgraph import in_degrees, out_degrees
+
+        docs, edges = _synthetic_edges(spark, sf)
+        ind = in_degrees(edges)
+        outd = out_degrees(edges)
+        return (
+            docs.join(ind, docs["doc_id"] == ind["node"], "left")
+            .drop("node")
+            .join(outd, docs["doc_id"] == outd["node"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            )
+        )
+
+    def linkgraph_pagerank(spark, sf):
+        # fixed-iteration PageRank (operators/linkgraph.py): the canonical
+        # iterative-join workload, oracle-verified join-for-join
+        from go_crawler_spark.operators.linkgraph import pagerank
+
+        docs, edges = _synthetic_edges(spark, sf)
+        pr = pagerank(docs.select(F.col("doc_id").alias("node")), edges, n_iter=3)
+        return pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+        )
+
     def multimodal_features(spark, sf):
         from go_crawler_spark.operators.multimodal import (
             extract_features,
@@ -458,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff_schedule": retry_backoff_schedule,
         "politeness_topk_per_host": politeness_topk_per_host,
         "robots_gate": robots_gate,
+        "linkgraph_degrees": linkgraph_degrees,
+        "linkgraph_pagerank": linkgraph_pagerank,
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
         "quality_scores": quality_scores,
@@ -584,6 +628,53 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": """
             SELECT doc_id, source AS host FROM documents
             WHERE doc_id % 20 NOT IN (3, 7)
+        """,
+        "linkgraph_degrees": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM documents
+              UNION ALL
+              SELECT doc_id AS src, (doc_id*17+3) % (SELECT n FROM nn) AS dst FROM documents),
+            ind AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst),
+            outd AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src)
+            SELECT d.doc_id,
+                   coalesce(i.in_degree, 0) AS in_degree,
+                   coalesce(o.out_degree, 0) AS out_degree
+            FROM documents d
+            LEFT JOIN ind i ON d.doc_id = i.node
+            LEFT JOIN outd o ON d.doc_id = o.node
+        """,
+        "linkgraph_pagerank": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM documents
+              UNION ALL
+              SELECT doc_id AS src, (doc_id*17+3) % (SELECT n FROM nn) AS dst FROM documents),
+            outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+            w AS (SELECT e.src, e.dst, 1.0/o.od AS w FROM edges e JOIN outd o ON e.src=o.src),
+            pr0 AS (SELECT doc_id AS node, 1.0/(SELECT n FROM nn) AS rank FROM documents),
+            pr1 AS (
+              SELECT d.doc_id AS node,
+                     0.15/(SELECT n FROM nn) + 0.85*coalesce(s.incoming, 0) AS rank
+              FROM documents d LEFT JOIN (
+                SELECT w.dst, sum(p.rank * w.w) AS incoming
+                FROM w JOIN pr0 p ON w.src = p.node GROUP BY w.dst) s
+              ON d.doc_id = s.dst),
+            pr2 AS (
+              SELECT d.doc_id AS node,
+                     0.15/(SELECT n FROM nn) + 0.85*coalesce(s.incoming, 0) AS rank
+              FROM documents d LEFT JOIN (
+                SELECT w.dst, sum(p.rank * w.w) AS incoming
+                FROM w JOIN pr1 p ON w.src = p.node GROUP BY w.dst) s
+              ON d.doc_id = s.dst),
+            pr3 AS (
+              SELECT d.doc_id AS node,
+                     0.15/(SELECT n FROM nn) + 0.85*coalesce(s.incoming, 0) AS rank
+              FROM documents d LEFT JOIN (
+                SELECT w.dst, sum(p.rank * w.w) AS incoming
+                FROM w JOIN pr2 p ON w.src = p.node GROUP BY w.dst) s
+              ON d.doc_id = s.dst)
+            SELECT node AS doc_id, round(rank, 6) AS rank FROM pr3
         """,
         "token_counts": f"""
             SELECT doc_id,

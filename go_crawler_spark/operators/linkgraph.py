@@ -1,0 +1,107 @@
+"""Link-graph analytics over crawl output [EXTENSION — training-data ops].
+
+A crawler's product is not just pages — it is the *web graph*. These
+operators run on an ``edges(src, dst)`` DataFrame (one row per link), which
+the engine produces naturally: ``CrawlResult.fetched`` carries the
+extracted ``children`` arrays, so
+
+    edges = fetched.select(F.col("url").alias("src"),
+                           F.explode("children").alias("c"))
+                   .filter(F.col("c.kind") == "page")
+                   .select("src", F.col("c.url").alias("dst"))
+
+Scale shape:
+- degree counts are single map-side-combined aggregations;
+- PageRank is the canonical iterative-join workload: each iteration is
+  ``edges ⋈ ranks`` (shuffle on ``src``) → contribution agg (shuffle on
+  ``dst``). On a cluster, bucket ``edges`` by ``src`` (Iceberg bucket
+  transform or ``repartition(src)`` + persist) so the per-iteration join
+  reuses one partitioning; ranks are tiny relative to edges and shuffle
+  cheaply. Lineage is truncated per iteration (localCheckpoint) so the
+  plan stays O(1) deep — the classic iterative-algorithm requirement.
+
+Semantics (documented, oracle-checked in __spark_entry__):
+  PR_0(v)   = 1/N
+  PR_k+1(v) = (1-d)/N + d * Σ_{(u,v)∈E} PR_k(u) / outdeg(u)
+Dangling-node mass (nodes with no out-links) is dropped, not
+redistributed — the simplest fixed-point form, and expressible in plain
+SQL so DuckDB can verify it exactly at a fixed iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_degree) for nodes with ≥1 out-link."""
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """(node, in_degree) for nodes with ≥1 in-link."""
+    return edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank. ``nodes`` has one column ``node`` (the
+    universe — including isolated nodes); ``edges`` has (src, dst).
+    Returns (node, rank).
+
+    Deterministic for a fixed n_iter; no tolerance-based early exit, so
+    the DuckDB oracle can reproduce it join-for-join.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    outd = out_degrees(edges)
+    # edges ⋈ outdeg is iteration-invariant: precompute the per-edge weight
+    weighted = edges.join(outd, edges["src"] == outd["node"]).select(
+        "src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w")
+    )
+    weighted = weighted.persist()
+    weighted.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(n_iter):
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("incoming", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            # truncate lineage on long runs (plan depth is O(iterations))
+            ranks = ranks.localCheckpoint(eager=True)
+    weighted.unpersist()
+    return ranks
+
+
+def edges_from_fetched(fetched: DataFrame) -> DataFrame:
+    """Crawl-native edge extraction: fetched log (with children arrays) →
+    (src, dst) page-link edges."""
+    return (
+        fetched.filter(F.col("children").isNotNull())
+        .select(F.col("url").alias("src"), F.explode("children").alias("c"))
+        .filter(F.col("c.kind") == "page")
+        .select("src", F.col("c.url").alias("dst"))
+    )
