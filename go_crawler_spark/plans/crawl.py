@@ -67,7 +67,7 @@ from typing import Iterator, List, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from go_crawler_spark.config import CrawlConfig
+from go_crawler_spark.config import CrawlConfig, RetryConfig
 from go_crawler_spark.functions.htmlx import parse_page_udf
 from go_crawler_spark.functions.urls import (
     asset_save_path_udf,
@@ -83,6 +83,7 @@ from go_crawler_spark.operators.dedup import (
 )
 from go_crawler_spark.operators.fetch import fetch_hits, fetch_round
 from go_crawler_spark.operators.politeness import apply_robots, assign_fetch_slots
+from go_crawler_spark.operators.retrying import retry_call
 from go_crawler_spark.operators.sequence import (
     SMALL_INPUT_ROWS,
     assign_seq_admit_budget_bucketed,
@@ -108,14 +109,30 @@ class CrawlResult:
     workdir: str
 
 
-def _write(df: DataFrame, path: str) -> DataFrame:
+def _write(
+    df: DataFrame, path: str, retry_cfg: "Optional[RetryConfig]" = None
+) -> DataFrame:
     """Parquet materialization with atomic rename; truncates lineage and is
-    the per-round checkpoint (C6)."""
-    tmp = path + "._tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    the per-round checkpoint (C6).
+
+    When ``retry_cfg`` is given, the action runs under the reference's
+    retry policy (C1, pkg/retry/retry.go:23-63) — the round-level analog
+    of the reference wrapping download (main.go:150-156) and save
+    (main.go:277-283). Safe to retry: the write lands in a ``._tmp``
+    staging dir (mode=overwrite) and only an atomic rename publishes it.
+    """
+
+    def action() -> None:
+        tmp = path + "._tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    if retry_cfg is not None:
+        retry_call(action, retry_cfg)
+    else:
+        action()
     return df.sparkSession.read.parquet(path)
 
 
@@ -376,7 +393,7 @@ def run_crawl(
             if isinstance(seeds, DataFrame)
             else seeds_enqueue(spark, seeds, cfg)
         )
-        enq0 = _write(enq0_df, os.path.join(workdir, "enqueue_0"))
+        enq0 = _write(enq0_df, os.path.join(workdir, "enqueue_0"), cfg.retry)
         bloom = _new_seen_filter(cfg)
         bloom, counts0 = _absorb(enq0, cfg, bloom)
         t = _tick("seeds", t)
@@ -494,7 +511,7 @@ def run_crawl(
             )
             .drop("_p")
         )
-        fetched = _write(fetched, os.path.join(workdir, f"fetched_{rnd}"))
+        fetched = _write(fetched, os.path.join(workdir, f"fetched_{rnd}"), cfg.retry)
         hits.unpersist()
         t = _tick("fetch_extract", t)
 
@@ -539,7 +556,7 @@ def run_crawl(
                     anti_join_seen(maybe, seen, "url")
                 )
             enq = _enqueue_large(new_urls, budget_remaining, seq_next, rnd + 1)
-        enq = _write(enq, os.path.join(workdir, f"enqueue_{rnd + 1}"))
+        enq = _write(enq, os.path.join(workdir, f"enqueue_{rnd + 1}"), cfg.retry)
         if verdicts is not None:
             verdicts.unpersist()
         seen_paths.append(os.path.join(workdir, f"enqueue_{rnd + 1}"))
