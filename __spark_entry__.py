@@ -467,6 +467,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
         )
 
+    def streaming_host_metrics(spark, sf):
+        # Structured Streaming face (streaming/pipeline.py): corpus parquet
+        # as a file-source stream -> fused extraction -> event-time windowed
+        # per-host metrics with watermark; drained with availableNow and
+        # returned as the final batch table (rows-only by nature)
+        import tempfile
+        import uuid
+
+        from go_crawler_spark.datagen import generate_pages_df
+        from go_crawler_spark.streaming.pipeline import (
+            extract_children_stream,
+            stream_pages,
+            windowed_host_metrics,
+        )
+
+        src_dir = tempfile.mkdtemp(prefix="stream_src_")
+        generate_pages_df(spark, _crawl_scale(sf), seed=42).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        metrics = windowed_host_metrics(
+            extract_children_stream(stream_pages(spark, src_dir))
+        )
+        qname = f"stream_hm_{uuid.uuid4().hex[:8]}"
+        q = (
+            metrics.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname).orderBy("win_start", "host")
+
     def multimodal_features(spark, sf):
         from go_crawler_spark.operators.multimodal import (
             extract_features,
@@ -520,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
         "embedding_ann_ivf": embedding_ann_ivf,
+        "streaming_host_metrics": streaming_host_metrics,
         "multimodal_features": multimodal_features,
     }
 
