@@ -133,3 +133,18 @@ def test_text_invariant(spark, pages_df, corpus):
     assert rows
     for r in rows:
         assert r["text"] == extract_text(corpus[r["url"]])
+
+
+def test_all_features_combined(spark, pages_df, corpus):
+    """Politeness + robots + depth limit + tight budget + cuckoo seen
+    filter, all at once — the full north-rule configuration against the
+    simulator."""
+    cfg = CrawlConfig(
+        max_count=25,
+        max_depth=2,
+        host_slots_per_round=2,
+        seen_filter="cuckoo",
+        cuckoo_buckets=1 << 12,
+    )
+    rules = [("big.example.com", "/p8"), ("alpha.example.org", "/p4.html")]
+    _assert_match(spark, pages_df, corpus, cfg, robots=rules)
