@@ -137,9 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def metrics_counters(spark, sf):
         # M1 metrics aggregates over the events stream table
         ev = _t(spark, sf, "events")
+        # decimal accumulation: order-independent, matches DuckDB exactly
+        # (see events_sessionization)
         return ev.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("sum_value"),
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
@@ -306,9 +310,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
+        # sum as DECIMAL(38,9): float sums depend on partial-agg order, and
+        # 6-dp rounding does not mask ulp drift at rounding boundaries —
+        # decimal accumulation is order-independent and matches DuckDB bit
+        # for bit (round-1 hash mismatch fix)
         return gapped.groupBy("user_id", "session_id").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("sum_value"),
             F.min(F.col("ts").cast("timestamp").cast("long")).alias("session_start_epoch"),
             F.max(F.col("ts").cast("timestamp").cast("long")).alias("session_end_epoch"),
         )
@@ -622,7 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "metrics_counters": """
             SELECT event_type,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value,
+                   CAST(round(sum(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE) AS sum_value,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value,
                    count(DISTINCT user_id) AS n_users
@@ -805,7 +815,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value,
+                   CAST(round(sum(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE) AS sum_value,
                    min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
                    max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_epoch
             FROM s GROUP BY user_id, session_id

@@ -101,11 +101,16 @@ class CuckooFilter:
 
     def add_many(self, h1: np.ndarray, h2: Optional[np.ndarray] = None) -> None:
         """h2 accepted for bloom API compatibility; the cuckoo addressing
-        derives everything from h1."""
-        h = np.asarray(h1).astype(np.uint64)
+        derives everything from h1.
+
+        The batch is deduplicated up front: the containment mask is computed
+        once for the whole batch, so without dedup every in-batch duplicate
+        would be inserted (consuming a slot each) and accelerate saturation.
+        Set semantics make insertion order irrelevant."""
+        h = np.unique(np.asarray(h1).astype(np.uint64))
         fps = self._fp(h)
         i1s = self._i1(h)
-        contained = self.might_contain(h1, h2)
+        contained = self.might_contain(h)
         for j in range(len(h)):
             if contained[j]:
                 continue  # idempotent insert (seen set semantics)

@@ -24,6 +24,17 @@ from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 # range-partition scheme needs (sampling runs once per action)
 SMALL_INPUT_ROWS = 100_000
 
+# persisted intermediates of assign_seq_admit_budget_bucketed, alive only
+# between the counts action and the caller's materializing action
+_PENDING_CACHES: List = []
+
+
+def release_pending_caches() -> None:
+    """Unpersist the bucketed-partitioning caches once the caller has
+    materialized the assignment output (e.g. written it to parquet)."""
+    while _PENDING_CACHES:
+        _PENDING_CACHES.pop().unpersist()
+
 
 def assign_global_seq(
     df: DataFrame,
@@ -125,14 +136,25 @@ def assign_seq_admit_budget_bucketed(
     every row of b precedes every row of b'; ties within a bucket broken by
     ``order_cols``).
 
-    Versus the range-partition variant this removes BOTH hidden
-    materializations per call: ``repartitionByRange``'s sampling job and
-    the eager ``localCheckpoint`` (needed there only because range
-    boundaries are re-sampled per action). Hash-partitioning by a
-    deterministic bucket value is stable across jobs, so the counts pass
-    and the assignment pass share one reusable shuffle — two jobs, no
-    extra copy of the data, no driver-side sort state beyond one
-    (rows, pages) pair per bucket.
+    Versus the range-partition variant this removes ``repartitionByRange``'s
+    sampling job (hash-partitioning by a deterministic bucket expression
+    needs no boundary sampling). The counts pass and the assignment pass are
+    two separate actions, so the partitioned+sorted input is ``persist()``ed
+    here — exchange reuse is per-query and would NOT carry the shuffle
+    across the two actions; without the cache the full upstream lineage
+    (in the crawl: fetched-parquet scan → explode → dedup → bloom →
+    anti-join) would run twice. The caller should drain
+    :func:`release_pending_caches` once the returned frame has been
+    materialized.
+
+    PRECONDITIONS (correctness, not just performance):
+    - ``order_cols`` must be a strict total order within each bucket —
+      with duplicate keys the per-bucket cumulative ranks are only defined
+      up to tie order and the two passes may disagree;
+    - the input lineage must be deterministic if the cache is ever evicted
+      (MEMORY_AND_DISK makes eviction an executor-loss-only event).
+    Both hold in the crawl: (parent_seq, pos) is unique post-dedup and the
+    input is a just-written parquet checkpoint or a deterministic scan.
 
     In the crawl: children buckets come from ``parent_seq`` slices (the
     driver knows the frontier's seq range — FIFO order is inherited from
@@ -144,7 +166,9 @@ def assign_seq_admit_budget_bucketed(
         df.withColumn("_bucket", bucket.cast("long"))
         .repartition(n, "_bucket")
         .sortWithinPartitions(*sort_cols)
+        .persist()
     )
+    _PENDING_CACHES.append(parted)
     counts_rows = (
         parted.groupBy("_bucket")
         .agg(

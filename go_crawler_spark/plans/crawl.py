@@ -87,6 +87,7 @@ from go_crawler_spark.operators.retrying import retry_call
 from go_crawler_spark.operators.sequence import (
     SMALL_INPUT_ROWS,
     assign_seq_admit_budget_bucketed,
+    release_pending_caches,
 )
 
 ORDER_COLS = ["parent_seq", "pos"]  # canonical within-round discovery order
@@ -394,6 +395,7 @@ def run_crawl(
             else seeds_enqueue(spark, seeds, cfg)
         )
         enq0 = _write(enq0_df, os.path.join(workdir, "enqueue_0"), cfg.retry)
+        release_pending_caches()
         bloom = _new_seen_filter(cfg)
         bloom, counts0 = _absorb(enq0, cfg, bloom)
         t = _tick("seeds", t)
@@ -485,9 +487,15 @@ def run_crawl(
             "round", F.lit(rnd)
         )
         child_t = "array<struct<kind:string,url:string,pos:int>>"
-        parsed = F.when(
-            (F.col("kind") == "page") & F.col("html").isNotNull(),
-            parse_page_udf("url", "html"),
+        # Null the heavy html ARGUMENT, not the UDF result: Spark extracts
+        # Python UDFs out of conditionals and evaluates them for every row,
+        # so wrapping the UDF in F.when() still ships asset bodies across
+        # the Arrow boundary. With the when() inside the argument, assets
+        # pass NULL html and hit the UDF's cheap early-out — zero asset
+        # bytes cross into Python.
+        is_parsed_page = (F.col("kind") == "page") & F.col("html").isNotNull()
+        parsed = parse_page_udf(
+            "url", F.when(is_parsed_page, F.col("html"))
         )
         fetched = (
             fetched.withColumn("_p", parsed)
@@ -500,7 +508,7 @@ def run_crawl(
             )
             .withColumn(
                 "html",
-                F.when(F.col("_p").isNotNull(), F.col("_p.html_out")).otherwise(
+                F.when(is_parsed_page, F.col("_p.html_out")).otherwise(
                     F.col("html")
                 ),
             )
@@ -557,6 +565,7 @@ def run_crawl(
                 )
             enq = _enqueue_large(new_urls, budget_remaining, seq_next, rnd + 1)
         enq = _write(enq, os.path.join(workdir, f"enqueue_{rnd + 1}"), cfg.retry)
+        release_pending_caches()
         if verdicts is not None:
             verdicts.unpersist()
         seen_paths.append(os.path.join(workdir, f"enqueue_{rnd + 1}"))

@@ -132,8 +132,12 @@ def main(argv=None) -> None:
         res = run_crawl(spark, pages, seeds, cfg, robots=robots,
                         workdir=workdir, max_rounds=args.max_rounds)
 
-    # publish the user-facing tables (S4 sink + schedule + metrics)
-    res.pages_out.write.mode("overwrite").parquet(os.path.join(args.output, "pages"))
+    # publish the user-facing tables (S4 sink + schedule + metrics);
+    # pages_out/fetched are None when no round produced a fetched_ log
+    # (all seeds refused by budget, robots blocking everything, or
+    # --max-rounds 0) — emit zero counts instead of crashing
+    if res.pages_out is not None:
+        res.pages_out.write.mode("overwrite").parquet(os.path.join(args.output, "pages"))
     res.schedule.write.mode("overwrite").parquet(os.path.join(args.output, "schedule"))
     res.metrics.write.mode("overwrite").parquet(os.path.join(args.output, "metrics"))
 
