@@ -65,6 +65,11 @@ class CrawlConfig:
     cuckoo_buckets: int = 1 << 18   # × 4 slots = ~1M fingerprint capacity
     shuffle_partitions: int = 32
     frontier_buckets: int = 32      # partitioning of frontier/seen by xxhash64(url)
+    broadcast_fetch_max_rows: int = 5_000_000
+    # fetch-join strategy gate: frontier rounds up to this many rows are
+    # broadcast into the corpus scan (~100s of MB of URLs); beyond it the
+    # fetch join falls back to a shuffle-hash join on url — a billion-row
+    # round cannot broadcast (operators/fetch.py)
 
     @staticmethod
     def from_env(**overrides) -> "CrawlConfig":

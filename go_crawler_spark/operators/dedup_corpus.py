@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
@@ -64,15 +64,27 @@ def ensure_cpu_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the smallest id per content fingerprint (deterministic
-    first-writer analog of Q1 at corpus scale). Shuffles on the md5, not
-    the document bytes."""
+    first-writer analog of Q1 at corpus scale).
+
+    Shuffle shape (the point of this operator at 100 TB): only
+    ``(fingerprint, id)`` pairs — two small columns — ever enter an
+    exchange. The winner decision is a groupBy-min over those pairs; the
+    verdict is applied back to the full rows with a ``left_anti`` join
+    against the LOSER id set, which is tiny (duplicates only, a few % of a
+    web corpus), so AQE plans it as a broadcast anti-join and the document
+    bytes never shuffle at all. A Window.partitionBy(fingerprint) +
+    row_number here would instead shuffle every full row including the
+    text — the difference between moving ~2% of the corpus and all of it.
+    """
     fp = df.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
-    return (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    keyed = fp.select("fingerprint", F.col(id_col).alias("_kid"))
+    winners = keyed.groupBy("fingerprint").agg(F.min("_kid").alias("_win"))
+    losers = (
+        keyed.join(winners, on="fingerprint")
+        .filter(F.col("_kid") != F.col("_win"))
+        .select(F.col("_kid").alias(id_col))
     )
+    return fp.join(losers, on=id_col, how="left_anti")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

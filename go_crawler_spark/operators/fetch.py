@@ -12,15 +12,29 @@ Common-Crawl-style ``pages`` table, so:
 - failure    → no match ⇒ html NULL, status = 'skipped_download'; the row
                is preserved (row-preserving skip, SURVEY §3.2)
 
-Join strategy for scale: the frontier batch is always the small side (a
-round fetches ≤ budget rows; the corpus is the 100 TB side), so the lookup
-is ``corpus INNER JOIN broadcast(frontier)`` — one corpus scan with a
-broadcast hash filter (Catalyst pushes a runtime bloom filter into the
-scan) — and the misses are a broadcast ``left_anti`` of the frontier
-against the (small) hit set. A plain ``frontier LEFT JOIN corpus`` would
-instead shuffle the corpus on the join key. With Iceberg, bucketing pages
-by xxhash64(url) would upgrade this to a storage-partition join; the
-broadcast pattern is the format-agnostic equivalent.
+Join strategy is SIZE-GATED (``broadcast_frontier``):
+
+- small rounds (≤ broadcast threshold, the common steady-state case): the
+  frontier is the small side, so the lookup is ``corpus INNER JOIN
+  broadcast(frontier)`` — one corpus scan with a broadcast hash filter
+  (Catalyst pushes a runtime bloom filter into the scan), and the misses
+  are a broadcast ``left_anti`` of the frontier against the (small) hit
+  set. A plain ``frontier LEFT JOIN corpus`` would instead shuffle the
+  corpus on the join key.
+- huge rounds (a 10^10-URL crawl's early breadth-explosion rounds hold
+  billions of frontier rows — nothing to broadcast): both joins fall back
+  to a SHUFFLE-HASH join on ``url`` (``hint("shuffle_hash")`` building on
+  the frontier side). Both sides exchange hash-partitioned on the url —
+  an all-to-all of the round's *hit* content, which is unavoidable
+  without co-located storage — but never a sort, and never a driver-side
+  collect. With Iceberg, bucketing the corpus by ``xxhash64(url)`` and
+  writing the frontier with the same bucketing upgrades this to a
+  storage-partitioned join (zero corpus shuffle); the shuffle-hash path
+  is the format-agnostic equivalent.
+
+The caller picks the mode from its known frontier row count
+(``CrawlConfig.broadcast_fetch_max_rows``); the driver loop tracks the
+count anyway, so no extra action is spent on the decision.
 
 ``fetch_hits`` must be materialized (cached/written) by the caller before
 ``fetch_round`` unions hits with misses — otherwise the corpus scan runs
@@ -32,7 +46,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def fetch_hits(frontier: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_hits(
+    frontier: DataFrame, pages: DataFrame, broadcast_frontier: bool = True
+) -> DataFrame:
     """One corpus scan: frontier rows found in the corpus, with content."""
     corpus = pages.select(
         "url",
@@ -41,15 +57,29 @@ def fetch_hits(frontier: DataFrame, pages: DataFrame) -> DataFrame:
         "lang",
         "warc_ts",
     )
-    return corpus.join(F.broadcast(frontier), on="url", how="inner")
+    if broadcast_frontier:
+        return corpus.join(F.broadcast(frontier), on="url", how="inner")
+    # billion-row round: shuffle-hash, build side = frontier (no sort-merge
+    # — the corpus side would pay a sort; no broadcast — nothing fits)
+    return corpus.join(frontier.hint("shuffle_hash"), on="url", how="inner")
 
 
-def fetch_round(frontier: DataFrame, hits: DataFrame, max_file_size: int) -> DataFrame:
+def fetch_round(
+    frontier: DataFrame,
+    hits: DataFrame,
+    max_file_size: int,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
     """Combine materialized ``hits`` with the frontier's misses and apply
     the size gate. Returns frontier columns + (html, text, lang, warc_ts,
     size, status)."""
+    hit_urls = hits.select("url")
+    if broadcast_frontier:
+        hit_urls = F.broadcast(hit_urls)
+    else:
+        hit_urls = hit_urls.hint("shuffle_hash")
     misses = (
-        frontier.join(F.broadcast(hits.select("url")), on="url", how="left_anti")
+        frontier.join(hit_urls, on="url", how="left_anti")
         .withColumn("_html", F.lit(None).cast("binary"))
         .withColumn("_text", F.lit(None).cast("string"))
         .withColumn("lang", F.lit(None).cast("string"))

@@ -482,10 +482,11 @@ def run_crawl(
         # a skipped page parses to nothing). save_path (S5) lands here too,
         # so the fetched log doubles as the pages sink — pages_out is a
         # column-pruned view of these files, not a second copy.
-        hits = fetch_hits(fetch_now, pages).persist()
-        fetched = fetch_round(fetch_now, hits, cfg.max_file_size).withColumn(
-            "round", F.lit(rnd)
-        )
+        bcast = n_frontier <= cfg.broadcast_fetch_max_rows
+        hits = fetch_hits(fetch_now, pages, broadcast_frontier=bcast).persist()
+        fetched = fetch_round(
+            fetch_now, hits, cfg.max_file_size, broadcast_frontier=bcast
+        ).withColumn("round", F.lit(rnd))
         child_t = "array<struct<kind:string,url:string,pos:int>>"
         # Null the heavy html ARGUMENT, not the UDF result: Spark extracts
         # Python UDFs out of conditionals and evaluates them for every row,

@@ -135,6 +135,49 @@ def test_text_invariant(spark, pages_df, corpus):
         assert r["text"] == extract_text(corpus[r["url"]])
 
 
+def test_shuffle_fetch_same_result(spark, pages_df, corpus):
+    """Size-gated fetch join: forcing the shuffle-hash fallback (as a
+    billion-row round would) must not change any result table."""
+    cfg = CrawlConfig(max_count=40, broadcast_fetch_max_rows=0)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_shuffle_fetch_plan(spark, pages_df):
+    """The fallback plan joins shuffle-hash with NO broadcast of the
+    frontier side (operators/fetch.py)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from go_crawler_spark.operators.fetch import fetch_hits
+
+    frontier = pages_df.select("url").limit(10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fetch_hits(frontier, pages_df, broadcast_frontier=False).explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_large_enqueue_path(spark, pages_df, corpus, monkeypatch):
+    """Drive the distributed budget+seq path (_enqueue_large →
+    assign_seq_admit_budget_bucketed) through the full simulator
+    equivalence: production-scale rounds take this path, but the
+    switchover needs n_frontier·64 > SMALL_INPUT_ROWS, which a 48-page
+    corpus never reaches — force it."""
+    monkeypatch.setattr("go_crawler_spark.plans.crawl.SMALL_INPUT_ROWS", 0)
+    cfg = CrawlConfig(max_count=40)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_large_enqueue_tight_budget(spark, pages_df, corpus, monkeypatch):
+    """Large path under a budget cutoff mid-round: the bucketed verdict
+    must refuse exactly the same pages as the sequential model."""
+    monkeypatch.setattr("go_crawler_spark.plans.crawl.SMALL_INPUT_ROWS", 0)
+    cfg = CrawlConfig(max_count=13)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
 def test_all_features_combined(spark, pages_df, corpus):
     """Politeness + robots + depth limit + tight budget + cuckoo seen
     filter, all at once — the full north-rule configuration against the

@@ -82,6 +82,44 @@ def main() -> None:
         {"BroadcastHashJoin": True, "SortMergeJoin": False},
     )
 
+    def audit_custom(name: str, df, check_name: str, fn) -> None:
+        p = plan_of(df)
+        ok = fn(p)
+        checks.append((f"{name}: {check_name}", ok))
+        sections.append((name, p, [f"- {'✓' if ok else '✗'} {check_name}"]))
+
+    import re
+
+    def exchanges_exclude(p: str, colname: str) -> bool:
+        """True iff no Exchange/BroadcastExchange input schema carries
+        ``colname`` (formatted plans list each node's Input [...] line)."""
+        inputs = re.findall(
+            r"\(\d+\) (?:Exchange|BroadcastExchange)[^\n]*\n"
+            r"Input \[\d+\]: \[([^\]]*)\]",
+            p,
+        )
+        return bool(inputs) and all(colname not in cols for cols in inputs)
+
+    # 2b. large-round fetch fallback → shuffle-hash join, NO broadcast of
+    # the (billion-row) frontier, no sort-merge
+    audit(
+        "fetch_lookup_large (shuffle-hash fallback, frontier not broadcast)",
+        fetch_hits(frontier, corpus, broadcast_frontier=False),
+        {"ShuffledHashJoin": True, "BroadcastExchange": False,
+         "SortMergeJoin": False},
+    )
+
+    # 2c. exact corpus dedup → only (fingerprint, id) pairs enter an
+    # exchange; the document bytes never shuffle
+    from go_crawler_spark.operators.dedup_corpus import exact_dedup
+
+    audit_custom(
+        "exact_dedup (losers anti-join; text never shuffles)",
+        exact_dedup(docs, "text", "doc_id"),
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
     # 3. seen anti-join → no distinct/aggregate on the seen build side
     from go_crawler_spark.operators.dedup import anti_join_seen
 
