@@ -42,13 +42,16 @@ common case (no politeness/robots):
                         vs seen → budget + seq in one fused bucketed pass
                         (operators/sequence.py — no range sampling, no
                         checkpoint copy, no top-K merge); admitted and
-                        refused rows land together (the seen delta);
-  J3  absorb          — one pass over the enqueue delta yielding the
-                        per-partition seen-filter builds AND the admission
-                        counters the driver loop needs (no extra count()
-                        actions).
+                        refused rows land together (the seen delta); the
+                        admission counters the driver loop needs ride this
+                        write as OBSERVED metrics (no count() actions);
+  J3  absorb          — one pass over the enqueue delta building the
+                        per-partition seen-filter bitsets, tree-merged
+                        (builders → ≤16 combiners → driver); zero jobs
+                        when the filter tier is disabled.
 
-Politeness/robots add a frontier write + count. Budget+seq use a
+Politeness/robots add a frontier write (its count also observed, not a
+separate action). Budget+seq use a
 single-task ordered pass while a round's candidate set is small
 (SMALL_INPUT_ROWS) and switch to the distributed fused bucketed scheme
 beyond it — at 10^10-URL scale rounds are huge and the fixed action count
@@ -110,8 +113,29 @@ class CrawlResult:
     workdir: str
 
 
+# admission counters folded into the enqueue write action (M1/Q2/Q4 driver
+# bookkeeping): DataFrame.observe collects them during the write, dropping
+# the separate per-round count job the loop used to run
+def _admission_aggs() -> list:
+    return [
+        F.coalesce(
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_admitted"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("admitted") & (F.col("kind") == "page"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("pages_admitted"),
+    ]
+
+
 def _write(
-    df: DataFrame, path: str, retry_cfg: "Optional[RetryConfig]" = None
+    df: DataFrame,
+    path: str,
+    retry_cfg: "Optional[RetryConfig]" = None,
+    observe: "Optional[list]" = None,
+    obs_out: "Optional[dict]" = None,
 ) -> DataFrame:
     """Parquet materialization with atomic rename; truncates lineage and is
     the per-round checkpoint (C6).
@@ -121,14 +145,29 @@ def _write(
     of the reference wrapping download (main.go:150-156) and save
     (main.go:277-283). Safe to retry: the write lands in a ``._tmp``
     staging dir (mode=overwrite) and only an atomic rename publishes it.
+
+    ``observe``: aggregate columns collected as observed metrics *during*
+    the write action (no extra job); results land in ``obs_out``. A fresh
+    Observation is created per attempt so a retried write never reads a
+    failed attempt's metrics.
     """
 
     def action() -> None:
+        out_df = df
+        obs = None
+        if observe is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out_df = df.observe(obs, *observe)
         tmp = path + "._tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        out_df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
+        if obs is not None and obs_out is not None:
+            obs_out.clear()
+            obs_out.update(obs.get)
 
     if retry_cfg is not None:
         retry_call(action, retry_cfg)
@@ -276,61 +315,69 @@ def _new_seen_filter(cfg: CrawlConfig):
     return BloomFilter(cfg.bloom_bits, cfg.bloom_hashes)
 
 
-def _absorb(enqueue: DataFrame, cfg: CrawlConfig, filt) -> tuple[object, dict]:
-    """One pass over an enqueue delta: per-partition seen-filter builds
-    (over ALL rows — refused URLs are seen too) + admission counters.
-    Returns the merged filter and {(admitted, kind): n}. Worker filters
-    travel back pickled (numpy state), merged on the driver."""
+def _absorb_filter(enqueue: DataFrame, filt, fan_in: int = 16):
+    """One pass over an enqueue delta building per-partition seen-filter
+    bitsets (over ALL rows — refused URLs are seen too, queue.go:92-106),
+    merged as a TWO-LEVEL TREE: every input partition builds at full
+    parallelism, partitions hash into ≤``fan_in`` combiner tasks that
+    OR-merge executor-side, and the driver merges only the ≤fan_in
+    combiner outputs. A flat collect of one pickled filter per partition
+    would push |partitions| × filter-size through the driver — at
+    10^10-URL scale a useful bloom is GBs and the driver fan-in is the
+    bottleneck; the combiner level is the ``treeAggregate`` pattern
+    expressed as DataFrame ops. Admission counters ride the enqueue write
+    as observed metrics (``_admission_aggs``), not this pass.
+
+    Returns the merged filter (``filt`` unchanged if the delta is empty),
+    or None when filtering is disabled."""
     if filt is None:
-        rows = enqueue.groupBy("admitted", "kind").count().collect()
-        return None, {(r["admitted"], r["kind"]): r["count"] for r in rows}
+        return None
 
     proto = filt.fresh()
     hashed = enqueue.select(
-        "admitted", "kind",
         F.xxhash64("url").alias("_h1"),
         F.xxhash64("url", F.lit(0x9E3779B9)).alias("_h2"),
     )
-    # driver receives one pickled filter per partition; cap the fan-in so
-    # the collect volume stays bounded (16 × filter size). On a large
-    # cluster this becomes a treeAggregate; 16 builders already saturate a
-    # single driver-side merge.
-    n_parts = hashed.rdd.getNumPartitions()
-    if n_parts > 16:
-        hashed = hashed.coalesce(16)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pickle
 
+        from pyspark import TaskContext
+
         bf = proto.fresh()
-        counts: dict[tuple, int] = {}
         any_rows = False
         for pdf in batches:
             if not len(pdf):
                 continue
             any_rows = True
             bf.add_many(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
-            grouped = pdf.groupby(["admitted", "kind"]).size()
-            for k, v in grouped.items():
-                counts[k] = counts.get(k, 0) + int(v)
         if any_rows:
-            yield pd.DataFrame(
-                {
-                    "filt": [pickle.dumps(bf)],
-                    "counts": [json.dumps({f"{a}|{k}": v for (a, k), v in counts.items()})],
-                }
-            )
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame({"_comb": [pid % fan_in], "filt": [pickle.dumps(bf)]})
+
+    built = hashed.mapInPandas(build, "_comb int, filt binary")
+
+    if hashed.rdd.getNumPartitions() > fan_in:
+
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pickle
+
+            acc = None
+            for pdf in batches:
+                for blob in pdf["filt"]:
+                    f = pickle.loads(blob)
+                    acc = f if acc is None else acc.merge(f)
+            if acc is not None:
+                yield pd.DataFrame({"filt": [pickle.dumps(acc)]})
+
+        built = built.repartition(fan_in, "_comb").mapInPandas(combine, "filt binary")
 
     import pickle
 
     merged = filt
-    counts: dict[tuple, int] = {}
-    for row in hashed.mapInPandas(run, "filt binary, counts string").collect():
+    for row in built.select("filt").collect():
         merged = merged.merge(pickle.loads(row["filt"]))
-        for k, v in json.loads(row["counts"]).items():
-            a, kind = k.split("|")
-            counts[(a == "True", kind)] = counts.get((a == "True", kind), 0) + v
-    return merged, counts
+    return merged
 
 
 def resume_crawl(
@@ -394,13 +441,17 @@ def run_crawl(
             if isinstance(seeds, DataFrame)
             else seeds_enqueue(spark, seeds, cfg)
         )
-        enq0 = _write(enq0_df, os.path.join(workdir, "enqueue_0"), cfg.retry)
+        stats0: dict = {}
+        enq0 = _write(
+            enq0_df, os.path.join(workdir, "enqueue_0"), cfg.retry,
+            observe=_admission_aggs(), obs_out=stats0,
+        )
         release_pending_caches()
         bloom = _new_seen_filter(cfg)
-        bloom, counts0 = _absorb(enq0, cfg, bloom)
+        bloom = _absorb_filter(enq0, bloom)
         t = _tick("seeds", t)
-        n_frontier = sum(v for (adm, _k), v in counts0.items() if adm)
-        pages_enqueued = sum(v for (adm, k), v in counts0.items() if adm and k == "page")
+        n_frontier = int(stats0["n_admitted"])
+        pages_enqueued = int(stats0["pages_admitted"])
         seq_next = n_frontier
         seen_paths = [os.path.join(workdir, "enqueue_0")]
         frontier = enq0.filter(F.col("admitted")).select(*FRONTIER_COLS)
@@ -430,9 +481,7 @@ def run_crawl(
             if d.startswith("enqueue_") and not d.endswith("._tmp")
         ]
         all_enq = spark.read.parquet(*seen_paths)
-        bloom = _new_seen_filter(cfg)
-        if bloom is not None:
-            bloom, _ = _absorb(all_enq, cfg, bloom)
+        bloom = _absorb_filter(all_enq, _new_seen_filter(cfg))
         # frontier = admitted ∖ already-fetched (politeness deferral included)
         fetched_dirs = [
             os.path.join(workdir, d)
@@ -565,27 +614,36 @@ def run_crawl(
                     anti_join_seen(maybe, seen, "url")
                 )
             enq = _enqueue_large(new_urls, budget_remaining, seq_next, rnd + 1)
-        enq = _write(enq, os.path.join(workdir, f"enqueue_{rnd + 1}"), cfg.retry)
+        stats: dict = {}
+        enq = _write(
+            enq, os.path.join(workdir, f"enqueue_{rnd + 1}"), cfg.retry,
+            observe=_admission_aggs(), obs_out=stats,
+        )
         release_pending_caches()
         if verdicts is not None:
             verdicts.unpersist()
         seen_paths.append(os.path.join(workdir, f"enqueue_{rnd + 1}"))
+        n_admitted = int(stats["n_admitted"])
+        pages_enqueued += int(stats["pages_admitted"])
+        seq_next += n_admitted
         t = _tick("enqueue", t)
 
-        # J3 — absorb the delta into the bloom + admission counters
-        bloom, counts = _absorb(enq, cfg, bloom)
-        n_admitted = sum(v for (adm, _k), v in counts.items() if adm)
-        pages_enqueued += sum(v for (adm, k), v in counts.items() if adm and k == "page")
-        seq_next += n_admitted
+        # J3 — absorb the delta into the seen filter (admission counters
+        # already arrived as observed metrics on the J2 write; without a
+        # filter this phase costs zero jobs)
+        bloom = _absorb_filter(enq, bloom)
         t = _tick("absorb", t)
 
         admitted = enq.filter(F.col("admitted")).select(*FRONTIER_COLS)
         if politeness_mode:
+            fstats: dict = {}
             frontier = _write(
                 deferred.select(*FRONTIER_COLS).unionByName(admitted),
                 os.path.join(workdir, "frontier"),
+                observe=[F.count(F.lit(1)).alias("n_rows")],
+                obs_out=fstats,
             )
-            n_frontier = frontier.count()
+            n_frontier = int(fstats["n_rows"])
         else:
             frontier = admitted
             n_frontier = n_admitted

@@ -86,6 +86,39 @@ def test_assign_seq_admit_budget_edges(spark):
     assert all(r["seq"] is None and not r["admitted"] for r in out0 if r["kind"] == "page")
 
 
+def test_absorb_filter_tree_merge(spark):
+    """Tree-merged filter build (builders → combiners → driver) over an
+    input with partitions ≫ fan_in must produce bit-identical filter state
+    to a sequential single-process build over the same hashes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from go_crawler_spark.operators.dedup import BloomFilter
+    from go_crawler_spark.plans.crawl import _absorb_filter
+
+    enq = (
+        spark.range(0, 20_000)
+        .select(F.concat(F.lit("https://t.example.com/p"), F.col("id")).alias("url"))
+        .repartition(64)  # 64 builders ≫ 16 combiners
+    )
+    tree = _absorb_filter(enq, BloomFilter(1 << 16, 5), fan_in=16)
+
+    hashes = enq.select(
+        F.xxhash64("url").alias("h1"),
+        F.xxhash64("url", F.lit(0x9E3779B9)).alias("h2"),
+    ).collect()
+    seq = BloomFilter(1 << 16, 5)
+    seq.add_many(
+        np.array([r["h1"] for r in hashes], dtype=np.int64),
+        np.array([r["h2"] for r in hashes], dtype=np.int64),
+    )
+    assert np.array_equal(tree.bits, seq.bits)
+
+    # absorbing an empty delta leaves the filter unchanged
+    empty = enq.filter(F.lit(False))
+    assert np.array_equal(_absorb_filter(empty, tree).bits, tree.bits)
+
+
 def test_seeds_enqueue_df_dedup_and_budget(spark):
     """Distributed seed frontier: duplicates collapse, budget admits in the
     canonical (xxhash64(url), url) order, refused seeds stay seen."""
