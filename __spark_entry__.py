@@ -8,10 +8,16 @@
 ``queries`` — one entry per implemented operator family from SURVEY.md §2
               plus the training-data-pipeline operators; each callable
               takes (spark, sf_dir).
-``oracle_sql`` — exact DuckDB ANSI-SQL equivalents for every
-              SQL-expressible query (same column names/aliases both
-              sides; floats rounded to 6 dp on both sides). UDF-only and
-              LSH-probabilistic operators are rows-only by design.
+``oracle_sql`` — a DuckDB oracle for EVERY query. SQL-expressible
+              operators get exact ANSI-SQL twins (same column
+              names/aliases both sides; floats rounded to 6 dp on both
+              sides). Operators whose math is not closed-form SQL (crawl
+              schedule, minhash/simhash/LSH banding, IVF probing,
+              streaming windows, multimodal decode) compare against
+              committed fixture parquet whose expected rows were computed
+              by independent implementations — the pure-Python crawl
+              simulator and numpy re-derivations over a from-scratch
+              xxhash64 (tools/gen_fixtures.py).
 """
 
 from __future__ import annotations
@@ -396,7 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def minhash_near_dup_pairs(spark, sf):
         docs = _t(spark, sf, "documents")
-        return minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+        return minhash_near_dups(docs, "text", "doc_id", threshold=0.5).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
 
     def simhash_near_dup_pairs(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -407,7 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3)
+        return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3).select(
+            "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+        )
 
     def robots_gate(spark, sf):
         # robots disallow-prefix gate [EXTENSION]: frontier URLs vs a
@@ -574,6 +584,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    # Fixture-backed oracles: expected outputs computed by INDEPENDENT
+    # implementations (pure-Python crawl simulator, numpy re-derivations of
+    # minhash/simhash/LSH/IVF over tools/xxh64.py) and committed as parquet
+    # under fixtures/ (tools/gen_fixtures.py). The running scale factor is
+    # recovered from the registered lineitem view's row count (~6k/60k/600k
+    # at sf 0.001/0.01/0.1) since the SQL string cannot be parameterized.
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    sf_key = (
+        "(SELECT CASE WHEN count(*) < 20000 THEN '0.001' "
+        "WHEN count(*) < 200000 THEN '0.01' ELSE '0.1' END FROM lineitem)"
+    )
+    scale_key = (
+        "(SELECT CASE WHEN count(*) < 20000 THEN 48 "
+        "WHEN count(*) < 200000 THEN 240 ELSE 1200 END FROM lineitem)"
+    )
     norm_text = _NORM_SQL.format(c="text")
     toks_raw = _TOKS_SQL.format(c="lower(text)")
     toks_norm = _TOKS_SQL.format(c=norm_text)
@@ -836,5 +861,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             GROUP BY o_orderpriority
+        """,
+        # ---- fixture-backed oracles (independent expected outputs) ----
+        "crawl_flagship": f"""
+            SELECT url, kind, depth, seq, host, enqueue_round
+            FROM read_parquet('{fix}/crawl_flagship.parquet')
+            WHERE scale = {scale_key}
+        """,
+        "crawl_extract_children": f"""
+            SELECT url, kind, child_url, pos
+            FROM read_parquet('{fix}/crawl_children.parquet')
+            WHERE scale = {scale_key}
+        """,
+        "simhash_near_dup_pairs": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{fix}/simhash_pairs.parquet')
+            WHERE sf = {sf_key}
+        """,
+        "minhash_near_dup_pairs": f"""
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM read_parquet('{fix}/minhash_pairs.parquet')
+            WHERE sf = {sf_key}
+        """,
+        "embedding_near_dup_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, bucket
+              FROM read_parquet('{fix}/embedding_lsh_buckets.parquet')
+              WHERE sf = {sf_key}),
+            e AS (
+              SELECT em.vec_id AS vec_id, CAST(em.embedding AS DOUBLE[]) AS v,
+                     b.bucket
+              FROM embeddings em JOIN b ON em.vec_id = b.vec_id)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+            FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+        """,
+        "embedding_ann_ivf": f"""
+            WITH cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{fix}/ann_ivf_candidates.parquet')
+              WHERE sf = {sf_key}),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) AS score
+              FROM cand c
+              JOIN embeddings e ON c.vec_id = e.vec_id
+              JOIN embeddings q ON c.query_id = q.vec_id)
+            SELECT query_id, vec_id, round(score, 6) AS score, rank FROM (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "streaming_host_metrics": f"""
+            SELECT win_start, host, links_discovered, assets_found,
+                   approx_distinct_urls
+            FROM read_parquet('{fix}/streaming_host_metrics.parquet')
+            WHERE scale = {scale_key}
+        """,
+        "multimodal_features": f"""
+            SELECT media_id, kind, n_bytes,
+                   round(feature_l1, 6) AS feature_l1
+            FROM read_parquet('{fix}/multimodal_features.parquet')
         """,
     }

@@ -480,7 +480,12 @@ def embedding_near_dups(
         return pd.Series(out, dtype="int64")
 
     bucketed = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        # float64 up front: the in-bucket verify must score in double so
+        # the cosine matches an exact (all-double) oracle bit for bit
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+        )
         .withColumn("bucket", bucket_udf("_vec"))
         .persist()  # self-join scans twice; avoid double UDF projection
     )

@@ -98,12 +98,22 @@ def train_ivf_centroids(
     sample_rows: int = 4096,
     iters: int = 5,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic driver-side Lloyd iterations over a bounded seeded
     sample (sample is the standard IVF training protocol — the full data
-    never leaves executors for assignment)."""
+    never leaves executors for assignment). The sample is the first
+    ``sample_rows`` vectors in ``id_col`` order — a bare limit() would
+    take whatever partitions answer first, making the trained centroids
+    (and every downstream probe) depend on scheduling."""
     sample = np.asarray(
-        [list(r[0]) for r in df.select(vec_col).limit(sample_rows).collect()],
+        [
+            list(r[vec_col])
+            for r in df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample = _normalize(sample)
@@ -149,8 +159,14 @@ def ivf_topk(
     """IVF ANN: probe the n_probe nearest cells per query, exact cosine
     re-score within probed cells only."""
     if centroids is None:
-        centroids = train_ivf_centroids(df, vec_col, n_cells)
-    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+        centroids = train_ivf_centroids(df, vec_col, n_cells, id_col=id_col)
+    # score in float64 end-to-end (float32 per-element products would make
+    # the exact re-score diverge from an all-double oracle)
+    assigned = ivf_assign(
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)),
+        centroids,
+        vec_col,
+    )
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qm = _normalize(np.asarray([list(r[query_vec_col]) for r in qrows], dtype=np.float64))

@@ -42,6 +42,7 @@ class SimItem:
     fetch_round: int = -1
     status: str = ""
     size: int = 0
+    enqueue_round: int = 0  # 0 = seed push; children pushed in round r → r+1
 
 
 @dataclass
@@ -66,7 +67,7 @@ def simulate(
     pages_enqueued = 0
     frontier: List[SimItem] = []
 
-    def push(url: str, kind: str, depth: int) -> None:
+    def push(url: str, kind: str, depth: int, enqueue_round: int = 0) -> None:
         """ref: queue.go:88-114 — dedup, seen insert, then budget."""
         nonlocal seq_counter, pages_enqueued
         if url in res.seen:
@@ -76,7 +77,10 @@ def simulate(
             if pages_enqueued >= cfg.max_count:
                 return  # refused but permanently seen (queue.go:92-106)
             pages_enqueued += 1
-        item = SimItem(url, kind, depth, seq_counter, registrable_host(url))
+        item = SimItem(
+            url, kind, depth, seq_counter, registrable_host(url),
+            enqueue_round=enqueue_round,
+        )
         seq_counter += 1
         frontier.append(item)
         res.schedule.append(item)
@@ -140,7 +144,7 @@ def simulate(
         for parent_seq, pos, kind, url, depth in sorted(children_batch):
             if depth > cfg.max_depth:
                 continue  # [EXTENSION] never pushed, never seen
-            push(url, kind, depth)
+            push(url, kind, depth, enqueue_round=rnd + 1)
 
         res.metrics.append(m)
         # next frontier = deferred + new arrivals: exactly the scheduled

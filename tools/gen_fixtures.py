@@ -1,0 +1,415 @@
+#!/usr/bin/env python
+"""Generate expected-output fixtures for the driver-contract queries that
+have no closed-form ANSI-SQL oracle (crawl schedule, LSH tiers, IVF ANN,
+streaming metrics, multimodal features).
+
+Every fixture is computed by an INDEPENDENT implementation — the
+pure-Python crawl simulator (go_crawler_spark/simulator.py), pure
+numpy/python re-derivations of the minhash/simhash/LSH/IVF math using
+tools/xxh64.py (a from-scratch xxhash64 pinned against F.xxhash64) — so an
+engine bug cannot leak into its own oracle. The one exception is
+``streaming_host_metrics``: its expected table is the BATCH DataFrame
+evaluation of the same aggregation (HLL approx_count_distinct is not
+reasonably re-derivable), which pins stream-vs-batch equality plus
+stability.
+
+Fixtures land in fixtures/*.parquet as single files, keyed by ``sf``
+(documents/embeddings-derived) or ``scale`` (synthetic-corpus-derived);
+the DuckDB oracle picks the key from the registered tables' row counts.
+Rerun after changing datagen, the simulator, or any fixtured operator:
+
+    python tools/gen_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.xxh64 import xxh64_str  # noqa: E402
+
+FIXTURES = os.path.join(REPO, "fixtures")
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SFS = ("0.001", "0.01", "0.1")
+SCALES = {"0.001": 48, "0.01": 240, "0.1": 1200}  # __spark_entry__._crawl_scale
+
+# ---------------------------------------------------------------------------
+# text normalization — ASCII-exact replica of functions/text.py (Java regex
+# \s is ASCII-only; Spark trim strips 0x20 only)
+# ---------------------------------------------------------------------------
+
+_NON_ALNUM = re.compile(r"[^a-z0-9 \t\n\x0b\f\r]")
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def normalize_for_fingerprint(text: str) -> str:
+    return _WS.sub(" ", _NON_ALNUM.sub("", text.lower())).strip(" ")
+
+
+def ws_tokens(s: str) -> list[str]:
+    """F.split(trim(s), '\\s+') semantics: split of '' yields ['']."""
+    return _WS.split(s.strip(" "))
+
+
+def token_ngrams(text: str, n: int = 3) -> list[str]:
+    toks = ws_tokens(normalize_for_fingerprint(text))
+    if len(toks) - (n - 1) < 1:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# inputs
+# ---------------------------------------------------------------------------
+
+
+def load_documents(sf: str) -> list[tuple[int, str]]:
+    t = pq.read_table(os.path.join(TESTDATA, f"sf{sf}", "documents.parquet"))
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def load_embeddings(sf: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(os.path.join(TESTDATA, f"sf{sf}", "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    order = np.argsort(ids)
+    return ids[order], vecs[order]
+
+
+def write(name: str, rows: list[dict], schema: pa.Schema) -> None:
+    table = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(table, os.path.join(FIXTURES, f"{name}.parquet"))
+    print(f"{name}: {len(rows)} rows")
+
+
+# ---------------------------------------------------------------------------
+# crawl fixtures (pure-Python simulator)
+# ---------------------------------------------------------------------------
+
+
+def gen_crawl_flagship() -> None:
+    from go_crawler_spark.config import CrawlConfig
+    from go_crawler_spark.datagen import default_seeds, generate_corpus_dict
+    from go_crawler_spark.simulator import simulate
+
+    rows = []
+    for sf, scale in SCALES.items():
+        cfg = CrawlConfig(max_count=30, host_slots_per_round=4)
+        sim = simulate(generate_corpus_dict(scale, 42), default_seeds(), cfg)
+        for it in sim.schedule:
+            rows.append(
+                dict(url=it.url, kind=it.kind, depth=it.depth, seq=it.seq,
+                     host=it.host, enqueue_round=it.enqueue_round, scale=scale)
+            )
+    write(
+        "crawl_flagship",
+        rows,
+        pa.schema(
+            [("url", pa.string()), ("kind", pa.string()), ("depth", pa.int32()),
+             ("seq", pa.int64()), ("host", pa.string()),
+             ("enqueue_round", pa.int32()), ("scale", pa.int32())]
+        ),
+    )
+
+
+def gen_crawl_children() -> None:
+    from go_crawler_spark.datagen import page_html, page_url
+    from go_crawler_spark.functions.htmlx import resolve_links_and_assets
+
+    rows = []
+    for sf, scale in SCALES.items():
+        for i in range(scale):
+            u = page_url(i)
+            for kind, child, pos in resolve_links_and_assets(
+                u, page_html(i, scale, 42)
+            ):
+                rows.append(
+                    dict(url=u, kind=kind, child_url=child, pos=pos, scale=scale)
+                )
+    write(
+        "crawl_children",
+        rows,
+        pa.schema(
+            [("url", pa.string()), ("kind", pa.string()),
+             ("child_url", pa.string()), ("pos", pa.int32()),
+             ("scale", pa.int32())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash (independent re-derivation; pigeonhole ⇒ expected = ALL pairs
+# with hamming ≤ 3)
+# ---------------------------------------------------------------------------
+
+
+def simhash_of(text: str) -> int:
+    toks = ws_tokens(normalize_for_fingerprint(text))
+    hs = np.array([xxh64_str(t) for t in toks], dtype=np.int64).astype(np.uint64)
+    if len(hs) == 0:
+        return 0
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    sim = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            sim |= np.uint64(1) << np.uint64(i)
+    return int(sim.astype(np.int64))
+
+
+def gen_simhash_pairs() -> None:
+    rows = []
+    for sf in SFS:
+        docs = load_documents(sf)
+        ids = np.array([d for d, _ in docs], dtype=np.int64)
+        sims = np.array([simhash_of(t) for _, t in docs], dtype=np.int64).astype(np.uint64)
+        n = len(ids)
+        for i in range(n):
+            x = sims[i] ^ sims[i + 1 :]
+            hd = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
+            for j in np.flatnonzero(hd <= 3):
+                a, b = int(ids[i]), int(ids[i + 1 + j])
+                lo, hi = (a, b) if a < b else (b, a)
+                rows.append(dict(id_a=lo, id_b=hi, hamming=int(hd[j]), sf=sf))
+    write(
+        "simhash_pairs",
+        rows,
+        pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("hamming", pa.int32()), ("sf", pa.string())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH banding (independent re-derivation of the banded buckets;
+# numpy permutation params shared with the operator via _minhash_params —
+# a fixed published constant of the scheme, not engine execution)
+# ---------------------------------------------------------------------------
+
+
+def gen_minhash_pairs(threshold: float = 0.5) -> None:
+    from go_crawler_spark.operators.dedup_corpus import _MERSENNE, _minhash_params
+
+    n_hashes, n_bands, shingle_n, seed = 64, 16, 3, 42
+    rpb = n_hashes // n_bands
+    a, b = _minhash_params(n_hashes, seed)
+    au = a.astype(np.uint64)[:, None]
+    bu = b.astype(np.uint64)[:, None]
+    mers = np.uint64(_MERSENNE)
+    mix1 = np.uint64(0x9E3779B97F4A7C15)
+    mix2 = np.uint64(0xBF58476D1CE4E5B9)
+
+    rows = []
+    for sf in SFS:
+        docs = load_documents(sf)
+        shingle_sets = {}
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for doc_id, text in docs:
+            sh = token_ngrams(text, shingle_n)
+            shingle_sets[doc_id] = set(sh)
+            if sh:
+                h = np.array([xxh64_str(s) for s in sh], dtype=np.int64).astype(np.uint64)
+                mins = ((au * h[None, :] + bu) % mers).min(axis=1)
+            else:
+                mins = np.full(n_hashes, mers, dtype=np.uint64)
+            banded = mins.reshape(n_bands, rpb)
+            bh = np.full(n_bands, mix1, dtype=np.uint64)
+            for r in range(rpb):
+                bh = (bh ^ (banded[:, r] + mix1)) * mix2
+            for bi in range(n_bands):
+                buckets.setdefault((bi, int(bh[bi].astype(np.int64))), []).append(doc_id)
+        pairs = set()
+        for members in buckets.values():
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    pairs.add((ms[i], ms[j]))
+        for ia, ib in sorted(pairs):
+            sa, sb = shingle_sets[ia], shingle_sets[ib]
+            union = len(sa | sb)
+            jac = (len(sa & sb) / union) if union else 0.0
+            if jac >= threshold:
+                rows.append(dict(id_a=ia, id_b=ib, jaccard=jac, sf=sf))
+    write(
+        "minhash_pairs",
+        rows,
+        pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("jaccard", pa.float64()), ("sf", pa.string())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding LSH buckets + IVF candidate sets (independent numpy)
+# ---------------------------------------------------------------------------
+
+
+def gen_embedding_lsh_buckets(n_planes: int = 6, dim: int = 64, seed: int = 7) -> None:
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    rows = []
+    for sf in SFS:
+        ids, vecs = load_embeddings(sf)
+        signs = (vecs @ planes.T) > 0
+        bucket = (signs << np.arange(n_planes)).sum(axis=1)
+        for vid, bk in zip(ids, bucket):
+            rows.append(dict(vec_id=int(vid), bucket=int(bk), sf=sf))
+    write(
+        "embedding_lsh_buckets",
+        rows,
+        pa.schema([("vec_id", pa.int64()), ("bucket", pa.int64()), ("sf", pa.string())]),
+    )
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def gen_ivf_candidates(
+    n_cells: int = 8, n_probe: int = 3, sample_rows: int = 4096,
+    iters: int = 5, seed: int = 42,
+) -> None:
+    """Replicates operators/similarity.py train_ivf_centroids + ivf_assign +
+    the probe selection of ivf_topk (sample = vectors sorted by vec_id)."""
+    rows = []
+    for sf in SFS:
+        ids, vecs = load_embeddings(sf)
+        sample = _normalize_rows(vecs[:sample_rows])
+        rng = np.random.RandomState(seed)
+        centroids = sample[
+            rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+        ]
+        for _ in range(iters):
+            assign = np.argmax(sample @ centroids.T, axis=1)
+            for c in range(len(centroids)):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = _normalize_rows(centroids)
+        cells = np.argmax(_normalize_rows(vecs) @ centroids.T, axis=1)
+
+        qmask = ids < 3
+        qids = ids[qmask]
+        qm = _normalize_rows(vecs[qmask])
+        probes = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
+        for qi, qid in enumerate(qids):
+            probe_set = set(int(c) for c in probes[qi])
+            for vid, cell in zip(ids, cells):
+                if int(cell) in probe_set:
+                    rows.append(dict(query_id=int(qid), vec_id=int(vid), sf=sf))
+    write(
+        "ann_ivf_candidates",
+        rows,
+        pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()), ("sf", pa.string())]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal features (pure-python replica of the stub decode)
+# ---------------------------------------------------------------------------
+
+
+def gen_multimodal(n: int = 64, seed: int = 42) -> None:
+    import random
+
+    rows = []
+    kinds = ("image", "audio", "video")
+    for i in range(n):
+        rng = random.Random((seed << 16) ^ i)
+        kind = kinds[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(128 + (i % 64) * 7))
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=32, range=(0, 256))
+        total = hist.sum()
+        feats = (hist / total if total else hist).astype(np.float64)
+        # same left-fold order as F.aggregate over the feature array
+        acc = 0.0
+        for x in feats.tolist():
+            acc = acc + x
+        rows.append(dict(media_id=i, kind=kind, n_bytes=len(payload), feature_l1=acc))
+    write(
+        "multimodal_features",
+        rows,
+        pa.schema(
+            [("media_id", pa.int64()), ("kind", pa.string()),
+             ("n_bytes", pa.int64()), ("feature_l1", pa.float64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming host metrics (batch evaluation of the same aggregation — pins
+# stream==batch; HLL distinct is engine-defined)
+# ---------------------------------------------------------------------------
+
+
+def gen_streaming_host_metrics() -> None:
+    from pyspark.sql import SparkSession
+
+    from go_crawler_spark.datagen import generate_pages_df
+    from go_crawler_spark.streaming.pipeline import (
+        extract_children_stream,
+        windowed_host_metrics,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("gen-fixtures")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    try:
+        for sf, scale in SCALES.items():
+            pages = generate_pages_df(spark, scale, seed=42)
+            metrics = windowed_host_metrics(extract_children_stream(pages))
+            for r in metrics.collect():
+                rows.append(
+                    dict(win_start=r["win_start"], host=r["host"],
+                         links_discovered=r["links_discovered"],
+                         assets_found=r["assets_found"],
+                         approx_distinct_urls=r["approx_distinct_urls"],
+                         scale=scale)
+                )
+    finally:
+        spark.stop()
+    write(
+        "streaming_host_metrics",
+        rows,
+        pa.schema(
+            [("win_start", pa.timestamp("us")), ("host", pa.string()),
+             ("links_discovered", pa.int64()), ("assets_found", pa.int64()),
+             ("approx_distinct_urls", pa.int64()), ("scale", pa.int32())]
+        ),
+    )
+
+
+def main() -> None:
+    os.makedirs(FIXTURES, exist_ok=True)
+    gen_crawl_flagship()
+    gen_crawl_children()
+    gen_simhash_pairs()
+    gen_minhash_pairs()
+    gen_embedding_lsh_buckets()
+    gen_ivf_candidates()
+    gen_multimodal()
+    gen_streaming_host_metrics()
+
+
+if __name__ == "__main__":
+    main()
