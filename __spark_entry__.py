@@ -287,13 +287,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def embedding_near_dup_lsh(spark, sf):
-        # scale path: random-hyperplane LSH buckets + in-bucket exact verify
+        # scale path: multi-table random-hyperplane LSH + exact verify
         from go_crawler_spark.operators.dedup_corpus import embedding_near_dups
 
         emb = _t(spark, sf, "embeddings")
         return embedding_near_dups(
-            emb, "embedding", "vec_id", dim=64, threshold=0.4, n_planes=6
+            emb, "embedding", "vec_id", dim=64, threshold=0.4
         ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    def embedding_lsh_recall(spark, sf):
+        # recall of the LSH near-dup tier vs its exact counterpart — the
+        # number a pipeline owner tunes n_planes against
+        ex = embedding_near_dup_exact(spark, sf).select("id_a", "id_b")
+        got = (
+            embedding_near_dup_lsh(spark, sf)
+            .select("id_a", "id_b")
+            .withColumn("_hit", F.lit(1))
+        )
+        j = ex.join(got, ["id_a", "id_b"], "left")
+        found = F.coalesce(F.sum("_hit"), F.lit(0))
+        return j.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            found.alias("n_found"),
+            F.round(found / F.count(F.lit(1)), 6).alias("recall"),
+        )
+
+    def ann_ivf_recall(spark, sf):
+        # recall@5 of IVF ANN vs brute force (the n_probe/n_cells trade)
+        bf = embedding_topk_bruteforce(spark, sf).select("query_id", "vec_id")
+        iv = (
+            embedding_ann_ivf(spark, sf)
+            .select("query_id", "vec_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        j = bf.join(iv, ["query_id", "vec_id"], "left")
+        found = F.coalesce(F.sum("_hit"), F.lit(0))
+        return j.agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            found.alias("n_found"),
+            F.round(found / F.count(F.lit(1)), 6).alias("recall"),
+        )
 
     def events_sessionization(spark, sf):
         # window-function breadth: 30-min-gap sessionization per user
@@ -415,7 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3).select(
+        return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=4).select(
             "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
         )
 
@@ -566,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pair_sims": embedding_pair_sims,
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "embedding_lsh_recall": embedding_lsh_recall,
+        "ann_ivf_recall": ann_ivf_recall,
         "events_sessionization": events_sessionization,
         "tpch_pricing_summary": tpch_pricing_summary,
         "revenue_by_priority": revenue_by_priority,
@@ -884,18 +919,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE sf = {sf_key}
         """,
         "embedding_near_dup_lsh": f"""
-            WITH b AS (
-              SELECT vec_id, bucket
+            WITH bk AS (
+              SELECT vec_id, table_idx, bucket
               FROM read_parquet('{fix}/embedding_lsh_buckets.parquet')
               WHERE sf = {sf_key}),
-            e AS (
-              SELECT em.vec_id AS vec_id, CAST(em.embedding AS DOUBLE[]) AS v,
-                     b.bucket
-              FROM embeddings em JOIN b ON em.vec_id = b.vec_id)
-            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, c.v), 6) AS cosine
-            FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+              FROM bk a JOIN bk c
+                ON a.table_idx = c.table_idx AND a.bucket = c.bucket
+               AND a.vec_id < c.vec_id),
+            ev AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT p.id_a, p.id_b,
+                   round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+            FROM pairs p
+            JOIN ev ea ON p.id_a = ea.vec_id
+            JOIN ev eb ON p.id_b = eb.vec_id
+            WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
         """,
         "embedding_ann_ivf": f"""
             WITH cand AS (
@@ -915,6 +955,70 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id
                        ORDER BY score DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "embedding_lsh_recall": f"""
+            WITH ex AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.4),
+            bk AS (
+              SELECT vec_id, table_idx, bucket
+              FROM read_parquet('{fix}/embedding_lsh_buckets.parquet')
+              WHERE sf = {sf_key}),
+            cp AS (
+              SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+              FROM bk a JOIN bk c
+                ON a.table_idx = c.table_idx AND a.bucket = c.bucket
+               AND a.vec_id < c.vec_id),
+            ev AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            lsh AS (
+              SELECT p.id_a, p.id_b
+              FROM cp p
+              JOIN ev ea ON p.id_a = ea.vec_id
+              JOIN ev eb ON p.id_b = eb.vec_id
+              WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4)
+            SELECT count(*) AS n_exact,
+                   sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+                   round(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS recall
+            FROM ex e LEFT JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+        """,
+        "ann_ivf_recall": f"""
+            WITH bf AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                         CAST(q.embedding AS DOUBLE[])) DESC,
+                                  e.vec_id ASC) AS rank
+                FROM embeddings e
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+              ) WHERE rank <= 5),
+            cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{fix}/ann_ivf_candidates.parquet')
+              WHERE sf = {sf_key}),
+            iv AS (
+              SELECT query_id, vec_id FROM (
+                SELECT c.query_id, c.vec_id,
+                       row_number() OVER (
+                         PARTITION BY c.query_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                         CAST(q.embedding AS DOUBLE[])) DESC,
+                                  c.vec_id ASC) AS rank
+                FROM cand c
+                JOIN embeddings e ON c.vec_id = e.vec_id
+                JOIN embeddings q ON c.query_id = q.vec_id
+              ) WHERE rank <= 5)
+            SELECT count(*) AS n_exact,
+                   sum(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+                   round(sum(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS recall
+            FROM bf b LEFT JOIN iv i
+              ON b.query_id = i.query_id AND b.vec_id = i.vec_id
         """,
         "streaming_host_metrics": f"""
             SELECT win_start, host, links_discovered, assets_found,

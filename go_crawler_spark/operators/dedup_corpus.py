@@ -460,24 +460,42 @@ def embedding_near_dups(
     id_col: str,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 4,
+    n_tables: int = 32,
     seed: int = 7,
 ) -> DataFrame:
-    """Random-hyperplane LSH buckets + exact cosine verify inside buckets."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+    """MULTI-TABLE random-hyperplane LSH + exact cosine verify.
 
-    @pandas_udf(LongType())
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
+    One hash table cannot reach useful recall at moderate thresholds: a
+    pair at cosine t collides under a single k-plane bucket with
+    probability (1-θ/π)^k — at t=0.4, k=6 that is ~6%. Standard
+    amplification: ``n_tables`` independent tables of ``n_planes`` each;
+    a pair is a candidate if it shares a bucket in ANY table, lifting
+    recall to 1-(1-p^k)^L (≈0.996 for t=0.4, k=4, L=32) while each
+    table's buckets stay small enough for local self-joins.
+
+    Scale shape: the bucket self-join carries only (id, table, bucket) —
+    vectors never enter the candidate shuffle; candidate pairs are
+    deduped across tables BEFORE the exact verify so each pair is scored
+    once; the verify joins vectors back by id and runs as JVM
+    higher-order functions in float64 (bit-matching an all-double
+    oracle). Memory is the standard L-tables trade: n_tables bucket ids
+    per vector."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
         out = []
+        bitw = np.arange(n_planes, dtype=np.int64)
         for v in vecs:
             if v is None or len(v) == 0:
-                out.append(-1)
+                out.append([-1] * n_tables)
                 continue
             arr = np.asarray(v, dtype=np.float64)
-            signs = (planes @ arr) > 0
-            out.append(sum(int(s) << i for i, s in enumerate(signs)))
-        return pd.Series(out, dtype="int64")
+            signs = (planes @ arr) > 0  # (n_tables, n_planes)
+            out.append(((signs.astype(np.int64) << bitw).sum(axis=1)).tolist())
+        return pd.Series(out, dtype=object)
 
     bucketed = (
         # float64 up front: the in-bucket verify must score in double so
@@ -486,21 +504,27 @@ def embedding_near_dups(
             F.col(id_col).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
         )
-        .withColumn("bucket", bucket_udf("_vec"))
-        .persist()  # self-join scans twice; avoid double UDF projection
+        .withColumn("_bks", buckets_udf("_vec"))
+        .persist()  # scanned by the pair join and twice by the verify
     )
     bucketed.count()
-    a = bucketed.select(
-        F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"), "bucket"
+    keyed = bucketed.select(
+        "_id", F.posexplode("_bks").alias("table_idx", "bucket")
     )
-    b = bucketed.select(
-        F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"), "bucket"
-    )
-    return (
-        a.join(b, on="bucket")
+    a = keyed.select(F.col("_id").alias("id_a"), "table_idx", "bucket")
+    b = keyed.select(F.col("_id").alias("id_b"), "table_idx", "bucket")
+    pairs = (
+        a.join(b, on=["table_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = bucketed.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"))
+    vb = bucketed.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"))
+    return (
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
         .withColumn("cosine", cosine_similarity_expr("vec_a", "vec_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

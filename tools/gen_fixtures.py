@@ -256,19 +256,27 @@ def gen_minhash_pairs(threshold: float = 0.5) -> None:
 # ---------------------------------------------------------------------------
 
 
-def gen_embedding_lsh_buckets(n_planes: int = 6, dim: int = 64, seed: int = 7) -> None:
-    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+def gen_embedding_lsh_buckets(
+    n_planes: int = 4, n_tables: int = 32, dim: int = 64, seed: int = 7
+) -> None:
+    planes = np.random.RandomState(seed).standard_normal((n_tables, n_planes, dim))
     rows = []
     for sf in SFS:
         ids, vecs = load_embeddings(sf)
-        signs = (vecs @ planes.T) > 0
-        bucket = (signs << np.arange(n_planes)).sum(axis=1)
-        for vid, bk in zip(ids, bucket):
-            rows.append(dict(vec_id=int(vid), bucket=int(bk), sf=sf))
+        for vid, v in zip(ids, vecs):
+            signs = (planes @ v) > 0  # (n_tables, n_planes)
+            buckets = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+            for ti, bk in enumerate(buckets):
+                rows.append(
+                    dict(vec_id=int(vid), table_idx=ti, bucket=int(bk), sf=sf)
+                )
     write(
         "embedding_lsh_buckets",
         rows,
-        pa.schema([("vec_id", pa.int64()), ("bucket", pa.int64()), ("sf", pa.string())]),
+        pa.schema(
+            [("vec_id", pa.int64()), ("table_idx", pa.int32()),
+             ("bucket", pa.int64()), ("sf", pa.string())]
+        ),
     )
 
 
@@ -279,7 +287,7 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 
 
 def gen_ivf_candidates(
-    n_cells: int = 8, n_probe: int = 3, sample_rows: int = 4096,
+    n_cells: int = 8, n_probe: int = 4, sample_rows: int = 4096,
     iters: int = 5, seed: int = 42,
 ) -> None:
     """Replicates operators/similarity.py train_ivf_centroids + ivf_assign +
