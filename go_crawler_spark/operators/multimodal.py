@@ -2,10 +2,12 @@
 
 Media are opaque ``binary`` payload columns + a typed metadata struct —
 the Spark-side schema, partitioning, UDF signatures, and Arrow batch
-shapes are real and tested; the actual codec calls are stubbed because no
-image/audio library ships in this container. Each decode seam is one
-clearly-marked function: swap ``_decode_image_stub`` for a PIL/ffmpeg call
-and nothing else changes.
+shapes are real and tested. The decode seam has two implementations:
+``_decode_image_real`` (PIL luminance histogram, active when PIL is
+importable; corrupt payloads yield NULL features, never task failures)
+and ``_decode_image_stub`` (deterministic byte histogram — the default,
+since this container ships no codec libs and the driver-contract query
+needs a reproducible oracle).
 
 Design rules for 100 TB of media:
 - payloads never enter a shuffle: feature extraction runs ``mapInPandas``
@@ -56,32 +58,65 @@ MEDIA_SCHEMA = StructType(
 FEATURE_DIM = 32
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """DECODE SEAM — replace with a real codec (PIL.Image.open etc.).
-
-    Raises NotImplementedError if real decoding is requested; the
-    deterministic fake (byte histogram, 32 bins, L1-normalized) keeps the
-    plumbing testable."""
+def _pil_image():
+    """Import seam for the optional codec dependency."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image as Image
 
-        raise NotImplementedError(
-            "real image decode not wired; container has no codec libs"
-        )
+        return Image
     except ImportError:
-        pass
-    if payload is None or len(payload) == 0:
-        return np.zeros(FEATURE_DIM, dtype=np.float64)
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+        return None
+
+
+def _hist_features(values: np.ndarray) -> np.ndarray:
+    hist, _ = np.histogram(values, bins=FEATURE_DIM, range=(0, 256))
     total = hist.sum()
     return (hist / total if total else hist).astype(np.float64)
 
 
-def extract_features(media: DataFrame, batch_limit: int = 64) -> DataFrame:
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake decode: byte histogram, 32 bins, L1-normalized —
+    keeps the full plumbing testable with no codec libs installed."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    return _hist_features(np.frombuffer(payload, dtype=np.uint8))
+
+
+def _decode_image_real(payload: bytes):
+    """Real codec path (PIL): decode → grayscale → 32-bin luminance
+    histogram, L1-normalized. Returns None for undecodable payloads —
+    a real corpus has corrupt blobs, and a decode failure must be a row
+    outcome (feature = NULL), never a task failure."""
+    import io
+
+    Image = _pil_image()
+    if Image is None or payload is None or len(payload) == 0:
+        return None
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            arr = np.asarray(img.convert("L"), dtype=np.uint8)
+    except Exception:
+        return None
+    return _hist_features(arr.reshape(-1))
+
+
+def extract_features(
+    media: DataFrame, batch_limit: int = 64, decode: str = "stub"
+) -> DataFrame:
     """media → (media_id, kind, feature: array<double>, n_bytes).
 
-    One ``mapInPandas`` pass; payloads are dropped before any shuffle."""
+    One ``mapInPandas`` pass; payloads are dropped before any shuffle.
+
+    ``decode``: "stub" (deterministic byte-histogram fake, default —
+    oracle-checkable), "real" (PIL luminance histogram; feature is NULL
+    for undecodable payloads), or "auto" (real when PIL is importable,
+    else stub)."""
+    if decode == "auto":
+        decode = "real" if _pil_image() is not None else "stub"
+    if decode == "real" and _pil_image() is None:
+        raise RuntimeError("decode='real' requested but PIL is not installed")
+    decoder = _decode_image_real if decode == "real" else _decode_image_stub
+
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -96,9 +131,10 @@ def extract_features(media: DataFrame, batch_limit: int = 64) -> DataFrame:
             # bound working set: media rows are big; sub-chunk the batch
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
-                feats = [
-                    _decode_image_stub(p).tolist() for p in chunk["payload"]
-                ]
+                feats = []
+                for p in chunk["payload"]:
+                    f = decoder(p)
+                    feats.append(f.tolist() if f is not None else None)
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].to_numpy(),

@@ -172,6 +172,42 @@ class TestMultimodal:
         b = sorted((r["media_id"], tuple(r["feature"])) for r in extract_features(media).collect())
         assert a == b
 
+    def test_auto_mode_without_pil_is_stub(self, spark):
+        import go_crawler_spark.operators.multimodal as mm
+
+        if mm._pil_image() is not None:
+            pytest.skip("PIL installed; auto resolves to real")
+        media = synthetic_media_df(spark, 3)
+        a = sorted(map(tuple, extract_features(media, decode="auto").collect()))
+        b = sorted(map(tuple, extract_features(media, decode="stub").collect()))
+        assert a == b
+        with pytest.raises(RuntimeError, match="PIL"):
+            extract_features(media, decode="real").collect()
+
+    def test_real_decode_with_pil(self, spark):
+        """Real codec path: valid PNG → luminance histogram; corrupt
+        payload → NULL feature row, never a task failure."""
+        import go_crawler_spark.operators.multimodal as mm
+
+        if mm._pil_image() is None:
+            pytest.skip("PIL not installed in this container")
+        import io
+
+        Image = mm._pil_image()
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+        rows = [
+            (0, "image", buf.getvalue(), None),
+            (1, "image", b"not an image", None),
+        ]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in extract_features(media, decode="real").collect()}
+        feat = out[0]["feature"]
+        assert feat is not None and len(feat) == 32
+        assert abs(sum(feat) - 1.0) < 1e-9
+        assert feat[16] == 1.0  # all pixels = 128 → bin 16
+        assert out[1]["feature"] is None
+
     def test_frame_sample(self, spark):
         media = synthetic_media_df(spark, 9)
         frames = frame_sample(media, every_ms=1000).collect()
