@@ -65,6 +65,10 @@ class CrawlConfig:
     cuckoo_buckets: int = 1 << 18   # × 4 slots = ~1M fingerprint capacity
     shuffle_partitions: int = 32
     frontier_buckets: int = 32      # partitioning of frontier/seen by xxhash64(url)
+    table_backend: str = "parquet"  # "parquet" | "iceberg" | "auto" — per-round
+                                    # state tables (go_crawler_spark/tableio.py)
+    iceberg_catalog: str = "crawl"
+    iceberg_namespace: str = "state"
     broadcast_fetch_max_rows: int = 5_000_000
     # fetch-join strategy gate: frontier rounds up to this many rows are
     # broadcast into the corpus scan (~100s of MB of URLs); beyond it the
@@ -98,4 +102,6 @@ class CrawlConfig:
             raise ValueError("output_dir must be non-empty")
         if self.seen_filter not in ("bloom", "cuckoo", "none"):
             raise ValueError("seen_filter must be bloom|cuckoo|none")
+        if self.table_backend not in ("parquet", "iceberg", "auto"):
+            raise ValueError("table_backend must be parquet|iceberg|auto")
         self.retry.validate()

@@ -24,9 +24,11 @@ Scale posture (designed for 10^10 URLs / 1000 executors, tested local):
   queue.go:92-106 — so no separate seen write exists);
 - the politeness window is salted two-phase (operators/politeness.py) so a
   mega-host cannot serialize a round;
-- per-round state lands in parquet (atomic rename) → any round is
-  resumable (C6 [EXTENSION]); lineage is truncated every round so plans
-  stay O(1) deep regardless of crawl length.
+- per-round state lands through the table-io shim (tableio.py: parquet
+  atomic-rename by default, Iceberg snapshot commits when a catalog +
+  runtime jar exist) → any round is resumable (C6 [EXTENSION]); lineage
+  is truncated every round so plans stay O(1) deep regardless of crawl
+  length.
 
 The scalability constant of an iterative-batch crawler is the number of
 *synchronous driver actions per round*. This loop runs THREE in the
@@ -60,9 +62,6 @@ is noise; at small scale the fixed action count IS the runtime.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
 import time
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
@@ -70,7 +69,7 @@ from typing import Iterator, List, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from go_crawler_spark.config import CrawlConfig, RetryConfig
+from go_crawler_spark.config import CrawlConfig
 from go_crawler_spark.functions.htmlx import parse_page_udf
 from go_crawler_spark.functions.urls import (
     asset_save_path_udf,
@@ -86,7 +85,6 @@ from go_crawler_spark.operators.dedup import (
 )
 from go_crawler_spark.operators.fetch import fetch_hits, fetch_round
 from go_crawler_spark.operators.politeness import apply_robots, assign_fetch_slots
-from go_crawler_spark.operators.retrying import retry_call
 from go_crawler_spark.operators.sequence import (
     SMALL_INPUT_ROWS,
     assign_seq_admit_budget_bucketed,
@@ -130,50 +128,14 @@ def _admission_aggs() -> list:
     ]
 
 
-def _write(
-    df: DataFrame,
-    path: str,
-    retry_cfg: "Optional[RetryConfig]" = None,
-    observe: "Optional[list]" = None,
-    obs_out: "Optional[dict]" = None,
-) -> DataFrame:
-    """Parquet materialization with atomic rename; truncates lineage and is
-    the per-round checkpoint (C6).
-
-    When ``retry_cfg`` is given, the action runs under the reference's
-    retry policy (C1, pkg/retry/retry.go:23-63) — the round-level analog
-    of the reference wrapping download (main.go:150-156) and save
-    (main.go:277-283). Safe to retry: the write lands in a ``._tmp``
-    staging dir (mode=overwrite) and only an atomic rename publishes it.
-
-    ``observe``: aggregate columns collected as observed metrics *during*
-    the write action (no extra job); results land in ``obs_out``. A fresh
-    Observation is created per attempt so a retried write never reads a
-    failed attempt's metrics.
-    """
-
-    def action() -> None:
-        out_df = df
-        obs = None
-        if observe is not None:
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            out_df = df.observe(obs, *observe)
-        tmp = path + "._tmp"
-        out_df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        if obs is not None and obs_out is not None:
-            obs_out.clear()
-            obs_out.update(obs.get)
-
-    if retry_cfg is not None:
-        retry_call(action, retry_cfg)
-    else:
-        action()
-    return df.sparkSession.read.parquet(path)
+# Per-round checkpoint writes go through go_crawler_spark.tableio: the
+# parquet backend is write-to-temp + atomic rename under the workdir; the
+# Iceberg backend (when its catalog + runtime jar exist) publishes atomic
+# snapshot commits instead. Writes run under the reference's retry policy
+# (C1, pkg/retry/retry.go:23-63) — the round-level analog of the reference
+# wrapping download (main.go:150-156) and save (main.go:277-283) — and can
+# carry observed-metric aggregates (a fresh Observation per attempt, so a
+# retried write never reads a failed attempt's metrics).
 
 
 def seeds_enqueue(spark: SparkSession, seeds: List[str], cfg: CrawlConfig) -> DataFrame:
@@ -392,13 +354,19 @@ def resume_crawl(
     """Resume an interrupted crawl from its workdir checkpoint (C6
     [EXTENSION] — the north rule requires any round to be resumable).
 
-    State recovered from disk: the per-round enqueue tables (⇒ seen set,
-    schedule, seq counter), MANIFEST.json (round, counters), and the
-    current frontier (recomputed from enqueue ∪ fetch logs: admitted items
-    not yet fetched). The bloom filter is rebuilt from the enqueue tables.
+    State recovered from the table backend: the per-round enqueue tables
+    (⇒ seen set, schedule, seq counter), the manifest (round, counters),
+    and the current frontier (recomputed from enqueue ∪ fetch logs:
+    admitted items not yet fetched). The bloom filter is rebuilt from the
+    enqueue tables.
     """
-    with open(os.path.join(workdir, "MANIFEST.json")) as f:
-        man = json.load(f)
+    from go_crawler_spark.tableio import make_tableio
+
+    io = make_tableio(spark, workdir, cfg.table_backend,
+                      cfg.iceberg_catalog, cfg.iceberg_namespace)
+    man = io.get_manifest()
+    if man is None:
+        raise FileNotFoundError(f"no crawl manifest in {workdir}")
     return run_crawl(
         spark, pages, [], cfg, robots=robots, workdir=workdir,
         max_rounds=max_rounds, timing=timing,
@@ -432,6 +400,11 @@ def run_crawl(
 
         workdir = tempfile.mkdtemp(prefix="crawl_")
 
+    from go_crawler_spark.tableio import make_tableio
+
+    io = make_tableio(spark, workdir, cfg.table_backend,
+                      cfg.iceberg_catalog, cfg.iceberg_namespace)
+
     politeness_mode = cfg.host_slots_per_round > 0 or robots is not None
 
     if _resume_from is None:
@@ -442,8 +415,8 @@ def run_crawl(
             else seeds_enqueue(spark, seeds, cfg)
         )
         stats0: dict = {}
-        enq0 = _write(
-            enq0_df, os.path.join(workdir, "enqueue_0"), cfg.retry,
+        enq0 = io.write(
+            enq0_df, "enqueue_0", cfg.retry,
             observe=_admission_aggs(), obs_out=stats0,
         )
         release_pending_caches()
@@ -453,67 +426,60 @@ def run_crawl(
         n_frontier = int(stats0["n_admitted"])
         pages_enqueued = int(stats0["pages_admitted"])
         seq_next = n_frontier
-        seen_paths = [os.path.join(workdir, "enqueue_0")]
+        seen_names = ["enqueue_0"]
         frontier = enq0.filter(F.col("admitted")).select(*FRONTIER_COLS)
         rnd = 0
     else:
-        with open(os.path.join(workdir, "MANIFEST.json")) as f:
-            man = json.load(f)
+        man = io.get_manifest()
         rnd = _resume_from
         seq_next = man["seq_next"]
         pages_enqueued = man["pages_enqueued"]
         # drop partial artifacts of the interrupted round: the manifest
         # marks round r complete only after enqueue_{r+1}; anything newer
-        # is a torn write whose children were never enqueued
-        for d in list(os.listdir(workdir)):
+        # is a torn write whose children were never enqueued (with the
+        # parquet backend, orphaned staging dirs too; Iceberg commits are
+        # atomic so cleanup_staging is a no-op there)
+        io.cleanup_staging()
+        for name in io.list_names():
             for prefix, first_stale in (("fetched_", rnd), ("blocked_", rnd),
                                         ("enqueue_", rnd + 1)):
-                if d.startswith(prefix):
+                if name.startswith(prefix):
                     try:
-                        num = int(d[len(prefix):].removesuffix("._tmp"))
+                        num = int(name[len(prefix):])
                     except ValueError:
                         continue
-                    if num >= first_stale or d.endswith("._tmp"):
-                        shutil.rmtree(os.path.join(workdir, d))
-        seen_paths = [
-            os.path.join(workdir, d)
-            for d in sorted(os.listdir(workdir))
-            if d.startswith("enqueue_") and not d.endswith("._tmp")
-        ]
-        all_enq = spark.read.parquet(*seen_paths)
+                    if num >= first_stale:
+                        io.delete_stale(name)
+        seen_names = io.list_names("enqueue_")
+        all_enq = io.read(*seen_names)
         bloom = _absorb_filter(all_enq, _new_seen_filter(cfg))
         # frontier = admitted ∖ already-fetched (politeness deferral included)
-        fetched_dirs = [
-            os.path.join(workdir, d)
-            for d in os.listdir(workdir)
-            if d.startswith("fetched_") and not d.endswith("._tmp")
-        ]
+        fetched_names = io.list_names("fetched_")
         admitted_all = all_enq.filter(F.col("admitted")).select(*FRONTIER_COLS)
-        if fetched_dirs:
-            done = spark.read.parquet(*fetched_dirs).select("url")
-            for d in (os.path.join(workdir, b) for b in os.listdir(workdir)
-                      if b.startswith("blocked_") and not b.endswith("._tmp")):
-                done = done.unionByName(spark.read.parquet(d).select("url"))
+        if fetched_names:
+            done = io.read(*fetched_names).select("url")
+            for b in io.list_names("blocked_"):
+                done = done.unionByName(io.read(b).select("url"))
             frontier = admitted_all.join(done, on="url", how="left_anti")
         else:
             frontier = admitted_all
-        frontier = _write(frontier, os.path.join(workdir, "frontier"))
+        frontier = io.write(frontier, "frontier")
         n_frontier = frontier.count()
     while rnd < max_rounds and n_frontier > 0:
         t = time.perf_counter()
-        seen = spark.read.parquet(*seen_paths).select("url")
+        seen = io.read(*seen_names).select("url")
 
         # robots gate [EXTENSION]
         if robots is not None:
             allowed, blocked = apply_robots(frontier, robots)
-            _write(
+            io.write(
                 blocked.select(
                     "url", "kind", "depth", "seq", "host",
                     F.lit(rnd).alias("round"),
                     F.lit("skipped_robots").alias("status"),
                     F.lit(0).cast("long").alias("size"),
                 ),
-                os.path.join(workdir, f"blocked_{rnd}"),
+                f"blocked_{rnd}",
             )
         else:
             allowed = frontier
@@ -569,7 +535,7 @@ def run_crawl(
             )
             .drop("_p")
         )
-        fetched = _write(fetched, os.path.join(workdir, f"fetched_{rnd}"), cfg.retry)
+        fetched = io.write(fetched, f"fetched_{rnd}", cfg.retry)
         hits.unpersist()
         t = _tick("fetch_extract", t)
 
@@ -615,14 +581,14 @@ def run_crawl(
                 )
             enq = _enqueue_large(new_urls, budget_remaining, seq_next, rnd + 1)
         stats: dict = {}
-        enq = _write(
-            enq, os.path.join(workdir, f"enqueue_{rnd + 1}"), cfg.retry,
+        enq = io.write(
+            enq, f"enqueue_{rnd + 1}", cfg.retry,
             observe=_admission_aggs(), obs_out=stats,
         )
         release_pending_caches()
         if verdicts is not None:
             verdicts.unpersist()
-        seen_paths.append(os.path.join(workdir, f"enqueue_{rnd + 1}"))
+        seen_names.append(f"enqueue_{rnd + 1}")
         n_admitted = int(stats["n_admitted"])
         pages_enqueued += int(stats["pages_admitted"])
         seq_next += n_admitted
@@ -637,9 +603,9 @@ def run_crawl(
         admitted = enq.filter(F.col("admitted")).select(*FRONTIER_COLS)
         if politeness_mode:
             fstats: dict = {}
-            frontier = _write(
+            frontier = io.write(
                 deferred.select(*FRONTIER_COLS).unionByName(admitted),
-                os.path.join(workdir, "frontier"),
+                "frontier",
                 observe=[F.count(F.lit(1)).alias("n_rows")],
                 obs_out=fstats,
             )
@@ -649,43 +615,37 @@ def run_crawl(
             n_frontier = n_admitted
         t = _tick("frontier", t)
 
-        with open(os.path.join(workdir, "MANIFEST.json"), "w") as f:
-            json.dump(
-                {"round": rnd, "seq_next": seq_next, "pages_enqueued": pages_enqueued,
-                 "config": {"max_count": cfg.max_count, "max_depth": cfg.max_depth,
-                            "host_slots_per_round": cfg.host_slots_per_round}},
-                f,
-            )
+        io.put_manifest(
+            {"round": rnd, "seq_next": seq_next, "pages_enqueued": pages_enqueued,
+             "config": {"max_count": cfg.max_count, "max_depth": cfg.max_depth,
+                        "host_slots_per_round": cfg.host_slots_per_round}},
+        )
         rnd += 1
 
     t = time.perf_counter()
-    result = _assemble_result(spark, workdir, rnd, cfg)
+    result = _assemble_result(spark, io, workdir, rnd, cfg)
     _tick("assemble", t)
     return result
 
 
-def _assemble_result(spark: SparkSession, workdir: str, rounds: int, cfg: CrawlConfig) -> CrawlResult:
-    """Build the result tables from the per-round parquet logs — metrics in
-    one job over the stored extraction arrays (M1 counter names from
+def _assemble_result(spark: SparkSession, io, workdir: str, rounds: int, cfg: CrawlConfig) -> CrawlResult:
+    """Build the result tables from the per-round checkpoint logs — metrics
+    in one job over the stored extraction arrays (M1 counter names from
     internal/metrics.go:14-18)."""
 
-    def rounds_with(prefix: str) -> list[int]:
-        out = []
-        for d in os.listdir(workdir):
-            if d.startswith(prefix) and not d.endswith("._tmp"):
-                try:
-                    out.append(int(d[len(prefix):]))
-                except ValueError:
-                    pass
-        return sorted(out)
-
     def union_all(prefix: str) -> Optional[DataFrame]:
-        rs = rounds_with(prefix)
-        if not rs:
+        names = []
+        for n in io.list_names(prefix):
+            try:
+                int(n[len(prefix):])
+            except ValueError:
+                continue
+            names.append(n)
+        if not names:
             return None
         df = None
-        for r in rs:
-            part = spark.read.parquet(os.path.join(workdir, f"{prefix}{r}"))
+        for n in names:
+            part = io.read(n)
             df = part if df is None else df.unionByName(part)
         return df
 
