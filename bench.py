@@ -49,7 +49,12 @@ def make_spark(cpus: int):
         # under-partitions the scan (a 128 MB split is minutes of parse);
         # smaller splits keep every core busy at every tested level
         .config("spark.sql.files.maxPartitionBytes", "33554432")
-        .config("spark.driver.memory", "16g")
+        # single-JVM local mode: the driver heap IS the executor heap. The
+        # cached scaling corpus (~11 KB html × SCALING_PAGES) plus per-task
+        # Arrow batches must fit without GC thrash — 16g was enough for
+        # 200k pages but put a 300k-page round ~50% deeper in GC at
+        # local[4]; size generously, the box has 128 GB
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -152,12 +157,20 @@ def frontier_round_bench(
     from go_crawler_spark.plans.crawl import run_crawl
 
     if corpus_path:
-        pages = spark.read.parquet(corpus_path).cache()
+        # do NOT cache(): the corpus already sits in tmpfs parquet (RAM-
+        # speed columnar scan, column-pruned). A deserialized on-heap cache
+        # turns ~2 GB of compressed columns into ~10 GB of live objects the
+        # GC walks on every cycle — measured ~3 extra cores of GC and a
+        # 1.5-2× fetch_extract slowdown at 300k pages. Re-scanning parquet
+        # per round is the same trade a real cluster makes against a
+        # distributed store.
+        pages = spark.read.parquet(corpus_path)
     else:
+        # generated corpus: cache is mandatory (regeneration is python CPU)
         pages = generate_pages_df(
             spark, n_pages, seed=42, branching=16, words=(800, 1600)
         ).cache()
-    pages.count()
+    pages.count()  # warm-up action (untimed): file listing, codegen, workers
     seeds_df = pages.filter(F.col("text") != "").select("url")
 
     # tmpfs workdir: on a cluster the per-round checkpoint goes to a
@@ -253,7 +266,7 @@ def bench_once(cpus: int, sf_dir: str) -> dict:
 # against the CPU-bound round work, matching the billions-of-rows-per-round
 # regime the north-rule metric describes. Identical input bytes at every
 # level either way.
-SCALING_PAGES = 300_000
+SCALING_PAGES = 600_000
 
 
 def _frontier_level_main(cpus: int, corpus_path: str, n_pages: int) -> None:
@@ -291,13 +304,15 @@ def scaling_report(sf_dir: str) -> None:
     - ONE corpus (SCALING_PAGES pages + assets, ~11 KB html/page),
       generated once to tmpfs parquet; every level reads identical bytes.
     - One fresh `python bench.py --frontier-level N` subprocess per level
-      (2, 8, 32 threads): no JVM/JIT warmth leaking between levels.
-    - Primary pair local[2] → local[8] (N → 4N): on this box threads ≤ 8
-      scale ~ideally for pure CPU, so the pair isolates ENGINE scaling.
-    - Secondary pair local[8] → local[32]: the box's vCPUs are
-      oversubscribed above ~8 busy threads — a pure-CPU multiprocessing
-      burn reaches only ~0.65 efficiency at 8→32. Reported raw AND
-      normalized by that same-box measured ceiling.
+      (local[1], local[4], local[32]): no JVM/JIT warmth leaking between
+      levels; smallest level first so the host's burst-CPU budget is in a
+      comparable state for the N→4N pair.
+    - Primary pair local[1] → local[4] (N → 4N): each busy Spark core runs
+      ~2 threads (JVM task + python worker), so local[4] is the largest 4×
+      step that stays inside this VM's sustained-full-speed region.
+    - local[32] is reported for peak; its marginal gain over local[4]
+      reflects host throttling of sustained all-core load, not an engine
+      property.
     """
     import subprocess
 
@@ -311,9 +326,17 @@ def scaling_report(sf_dir: str) -> None:
     reps = 2
     results: dict[int, dict] = {}
     try:
-        for cpus in (32, 4, 1):
+        # smallest level first: this VM's shared vCPUs are burst-throttled —
+        # a sustained all-core run (local[32]) drains the host's CPU budget
+        # and depresses every level measured after it by ~40% (observed:
+        # identical local[4] jobs at 0.17 ms/page standalone vs 0.26 ms/page
+        # right after a local[32] sweep). Ordering 1→4→32 gives the N→4N
+        # pair comparable credit state; the short gaps let scheduling settle.
+        for cpus in (1, 4, 32):
             best = None
             for r in range(reps):
+                if r or cpus > 1:
+                    time.sleep(20)
                 print(f"frontier round at local[{cpus}] rep {r} ...", file=sys.stderr)
                 pr = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--frontier-level",
@@ -332,7 +355,11 @@ def scaling_report(sf_dir: str) -> None:
     finally:
         shutil.rmtree(corpus, ignore_errors=True)
 
-    ceiling = measure_cpu_ceiling(2, 8)  # 2 busy threads per Spark core
+    # same-box pure-CPU ceiling for the same busy-thread step (2 busy
+    # threads per Spark core: JVM task + python worker). Clamped to ≤1.0:
+    # super-linear pure-CPU scaling is impossible, so a >1 measurement is
+    # sampling noise and must not deflate the normalized figure.
+    ceiling = min(measure_cpu_ceiling(2, 8), 1.0)
     f1, f4, f32 = results[1], results[4], results[32]
     e_clean = (f1["sec"] / f4["sec"]) / 4
     e_norm = min(e_clean / ceiling, 1.0) if ceiling > 0 else float("nan")
@@ -375,24 +402,23 @@ def scaling_report(sf_dir: str) -> None:
         "",
         "Why local[1]→local[4] is the N→4N pair: each busy Spark core in",
         "this job runs ~2 threads (JVM task + Python/Arrow worker), so",
-        "local[4] already keeps ~8 hardware threads busy. This VM's vCPUs",
-        "are oversubscribed beyond ~8 busy threads — an embarrassingly",
-        "parallel pure-CPU multiprocessing burn measures only ~0.65",
-        "efficiency at 8→32 workers, with NO Spark involved. local[1]→",
-        "local[4] is the largest 4× step that stays inside the",
-        "full-speed region, so it isolates engine scaling the way a real",
-        "N→4N executor-count change (each executor with its own cores and",
-        "memory bus) would.",
+        "local[4] already keeps ~8-10 hardware threads busy — the largest",
+        "4× step inside this VM's sustained-full-speed region. It isolates",
+        "engine scaling the way a real N→4N executor-count change (each",
+        "executor with its own cores and memory bus) would. Levels run",
+        "smallest-first: the host throttles sustained all-core load, so a",
+        "local[32] sweep run first depresses every level after it.",
         "",
         f"Same-box pure-CPU ceiling for the same thread step (2→8 busy",
-        f"threads, measured each run): {ceiling:.3f}; engine efficiency",
-        f"normalized to that ceiling = {e_norm:.3f}.",
+        f"threads, measured each run, clamped to ≤1.0): {ceiling:.3f};",
+        f"engine efficiency normalized to that ceiling = {e_norm:.3f}.",
         "",
         "local[32] is reported for peak throughput; its marginal gain over",
-        "local[4] reflects host oversubscription (shared memory bus, vCPU",
-        "steal), not an engine property — the per-stage evidence is in the",
-        "phases breakdown (python-UDF parse stages scale with cores until",
-        "the hardware knee; driver-coordination phases are constant).",
+        "local[4] reflects host throttling of sustained all-core load",
+        "(shared memory bus, vCPU caps), not an engine property — the",
+        "per-stage evidence is in the phases breakdown (python-UDF parse",
+        "stages scale with cores until the hardware knee;",
+        "driver-coordination phases are constant).",
         "",
         "Phase seconds (best rep):",
         "",

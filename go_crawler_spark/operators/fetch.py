@@ -36,9 +36,11 @@ The caller picks the mode from its known frontier row count
 (``CrawlConfig.broadcast_fetch_max_rows``); the driver loop tracks the
 count anyway, so no extra action is spent on the decision.
 
-``fetch_hits`` must be materialized (cached/written) by the caller before
-``fetch_round`` unions hits with misses — otherwise the corpus scan runs
-twice.
+``fetch_round`` consumes the hits lineage twice: once in full (the union)
+and once url-only (the miss anti-join). Callers should NOT cache hits:
+the second pass is column-pruned down to the url at the scan, so the
+recompute is a cheap JVM-only join, while an on-heap cache of the full
+hit content (html+text) costs more in GC than the pruned rescan saves.
 """
 
 from __future__ import annotations

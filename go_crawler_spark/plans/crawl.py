@@ -14,8 +14,11 @@ replaces fan-in (C3), and the driver loop condition replaces ack-counting
 termination (Q4, internal/queue.go:116-129).
 
 Scale posture (designed for 10^10 URLs / 1000 executors, tested local):
-- the fetch lookup is corpus ⋈ broadcast(frontier) — one corpus scan per
-  round, never a corpus shuffle (operators/fetch.py);
+- the fetch lookup is corpus ⋈ broadcast(frontier) (size-gated to a
+  shuffle-hash join for billion-row rounds) — one full corpus scan per
+  round plus one column-pruned url-only scan for the miss anti-join,
+  never a corpus shuffle and never an on-heap cache of page content
+  (operators/fetch.py);
 - the URL-seen bloom filter is *incremental*: each round absorbs only the
   newly-seen delta (per-partition build OR-merged on the driver) — the
   seen set is never rescanned (operators/dedup.py);
@@ -490,15 +493,22 @@ def run_crawl(
             allowed, cfg.host_slots_per_round, cfg.politeness_salts
         )
 
-        # J1 — fetch (one corpus scan; hits persisted, consumed twice) +
-        # size gate + ONE fused parse producing children AND the rewritten
-        # page bytes (P1-P6 + T1 in a single Arrow pass — the html column
-        # crosses the Python boundary once; assets skip parse, main.go:207;
-        # a skipped page parses to nothing). save_path (S5) lands here too,
-        # so the fetched log doubles as the pages sink — pages_out is a
-        # column-pruned view of these files, not a second copy.
+        # J1 — fetch + size gate + ONE fused parse producing children AND
+        # the rewritten page bytes (P1-P6 + T1 in a single Arrow pass — the
+        # html column crosses the Python boundary once; assets skip parse,
+        # main.go:207; a skipped page parses to nothing). save_path (S5)
+        # lands here too, so the fetched log doubles as the pages sink —
+        # pages_out is a column-pruned view of these files, not a second
+        # copy.
+        #
+        # hits is deliberately NOT persisted: its second consumer (the miss
+        # anti-join) needs only the url column, so the recompute is a
+        # column-pruned corpus scan + join — all JVM, no Python — while an
+        # on-heap cache of the full hit content (html+text) measurably
+        # costs more in GC than the pruned rescan saves (~2 GB of columnar
+        # cache per 100k pages).
         bcast = n_frontier <= cfg.broadcast_fetch_max_rows
-        hits = fetch_hits(fetch_now, pages, broadcast_frontier=bcast).persist()
+        hits = fetch_hits(fetch_now, pages, broadcast_frontier=bcast)
         fetched = fetch_round(
             fetch_now, hits, cfg.max_file_size, broadcast_frontier=bcast
         ).withColumn("round", F.lit(rnd))
@@ -536,7 +546,6 @@ def run_crawl(
             .drop("_p")
         )
         fetched = io.write(fetched, f"fetched_{rnd}", cfg.retry)
-        hits.unpersist()
         t = _tick("fetch_extract", t)
 
         # J2 — children explode → depth gate → within-round first-writer

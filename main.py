@@ -50,6 +50,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="politeness: max fetches per host per round (0=off)")
     p.add_argument("--seen-filter", choices=("bloom", "cuckoo", "none"),
                    default=None)
+    p.add_argument("--table-backend", choices=("parquet", "iceberg", "auto"),
+                   default=None, help="per-round state tables: parquet dirs "
+                   "(default) or an Iceberg catalog (tableio.py)")
     p.add_argument("--robots", help="parquet/csv path with "
                    "(host, disallow_prefix) rules")
     p.add_argument("--output", default="./crawl_out",
@@ -80,6 +83,8 @@ def main(argv=None) -> None:
         overrides["use_bloom"] = args.seen_filter != "none"
     if args.shuffle_partitions is not None:
         overrides["shuffle_partitions"] = args.shuffle_partitions
+    if args.table_backend is not None:
+        overrides["table_backend"] = args.table_backend
     overrides["output_dir"] = args.output
     cfg = CrawlConfig.from_env(**overrides)
 
