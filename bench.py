@@ -49,11 +49,11 @@ def make_spark(cpus: int):
         # under-partitions the scan (a 128 MB split is minutes of parse);
         # smaller splits keep every core busy at every tested level
         .config("spark.sql.files.maxPartitionBytes", "33554432")
-        # single-JVM local mode: the driver heap IS the executor heap. The
-        # cached scaling corpus (~11 KB html × SCALING_PAGES) plus per-task
-        # Arrow batches must fit without GC thrash — 16g was enough for
-        # 200k pages but put a 300k-page round ~50% deeper in GC at
-        # local[4]; size generously, the box has 128 GB
+        # single-JVM local mode: the driver heap IS the executor heap.
+        # Page content deliberately never lands on the heap (no corpus /
+        # hits caches — see frontier_round_bench), but broadcasts, shuffle
+        # buffers and parquet writers still want room; size generously,
+        # the box has 128 GB
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -138,7 +138,7 @@ def frontier_round_bench(
     """North-rule throughput metric: ONE giant frontier batch through the
     full round pipeline — distributed seed scheduling (dedup + budget +
     seq), broadcast fetch-join, vectorized link extraction over every page,
-    2.5M-child explode/canonicalize, within-round first-writer dedup,
+    ~18-children-per-page explode/canonicalize, within-round first-writer dedup,
     bloom-pruned anti-join vs seen, fused budget+seq enqueue, checkpoint
     writes, and the rewrite/save sink.
 
@@ -383,7 +383,7 @@ def scaling_report(sf_dir: str) -> None:
         "pipeline: distributed seed scheduling (dedup + budget + contiguous",
         "seq), broadcast fetch-join, ONE fused vectorized parse per page",
         "(link extraction + URL rewrite in a single Arrow pass),",
-        "~4.6M-child canonicalize/explode, within-round first-writer dedup",
+        "~18-children-per-page canonicalize/explode, within-round first-writer dedup",
         "(map-side min_by), bloom-pruned anti-join vs seen, fused",
         "budget+seq enqueue, per-round checkpoint writes; the pages sink is",
         "a column-pruned view of the checkpoint (no second copy).",
