@@ -233,6 +233,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
 
+    def bpe_token_counts(spark, sf):
+        # BPE-ish subword-load estimate: word/number runs + punctuation atoms
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id", T.word_token_count(F.col("text")).alias("n_atoms")
+        )
+
+    def dedup_clusters(spark, sf):
+        # duplicate clusters (fingerprint -> sorted member ids, size > 1).
+        # The synthetic documents table has no exact dups, so re-add every
+        # 10th doc under a shifted id — the clusters then actually exercise
+        # the grouping (50 clusters of 2 at every sf, not an empty result).
+        from go_crawler_spark.operators.dedup_corpus import exact_dup_groups
+
+        base = _t(spark, sf, "documents").select("doc_id", "text")
+        echoes = base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        docs = base.unionByName(echoes)
+        return exact_dup_groups(docs, "text", "doc_id").select(
+            "fingerprint",
+            "n_members",
+            F.concat_ws(",", F.transform("member_ids", lambda x: x.cast("string")))
+            .alias("member_ids"),
+        )
+
     def ngram_jaccard_pairs(spark, sf):
         # exact token-3-gram Jaccard for all pairs among doc_id < 30
         docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
@@ -554,6 +580,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.awaitTermination()
         return spark.table(qname).orderBy("win_start", "host")
 
+    def multimodal_frame_sample(spark, sf):
+        # video frame sampling plumbing: one row per sampled timestamp,
+        # deterministic payload window standing in for the decoded frame
+        from go_crawler_spark.operators.multimodal import (
+            frame_sample,
+            synthetic_media_df,
+        )
+
+        media = synthetic_media_df(spark, 64, seed=42)
+        return frame_sample(media, every_ms=1000)
+
     def multimodal_features(spark, sf):
         from go_crawler_spark.operators.multimodal import (
             extract_features,
@@ -591,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkgraph_pagerank": linkgraph_pagerank,
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
+        "bpe_token_counts": bpe_token_counts,
+        "dedup_clusters": dedup_clusters,
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
         "fingerprints": fingerprints,
@@ -611,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": embedding_ann_ivf,
         "streaming_host_metrics": streaming_host_metrics,
         "multimodal_features": multimodal_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
     }
 
 
@@ -818,6 +858,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents
+        """,
+        "bpe_token_counts": r"""
+            -- atoms = maximal word-char runs + individual non-space
+            -- non-word chars (equivalent to splitting at \W boundaries
+            -- and dropping whitespace atoms; RE2 has no lookarounds)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]')) AS n_atoms
+            FROM documents
+        """,
+        "dedup_clusters": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            )
+            SELECT md5({norm_text}) AS fingerprint,
+                   count(*) AS n_members,
+                   array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+            FROM corpus
+            GROUP BY md5({norm_text})
+            HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (
@@ -1030,5 +1093,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, kind, n_bytes,
                    round(feature_l1, 6) AS feature_l1
             FROM read_parquet('{fix}/multimodal_features.parquet')
+        """,
+        "multimodal_frame_sample": f"""
+            SELECT media_id, ts_ms, frame_bytes
+            FROM read_parquet('{fix}/multimodal_frames.parquet')
         """,
     }

@@ -330,15 +330,44 @@ def gen_ivf_candidates(
 # ---------------------------------------------------------------------------
 
 
-def gen_multimodal(n: int = 64, seed: int = 42) -> None:
+def _media_payloads(n: int, seed: int):
     import random
 
-    rows = []
     kinds = ("image", "audio", "video")
     for i in range(n):
         rng = random.Random((seed << 16) ^ i)
         kind = kinds[i % 3]
         payload = bytes(rng.randrange(256) for _ in range(128 + (i % 64) * 7))
+        duration = 3000 + 100 * (i % 10) if kind == "video" else None
+        yield i, kind, payload, duration
+
+
+def gen_multimodal_frames(n: int = 64, seed: int = 42, every_ms: int = 1000) -> None:
+    """Replicates operators/multimodal.py frame_sample: video rows only,
+    timestamps sequence(0, duration_ms-1, step), frame = 64-byte payload
+    window at offset (ts % 997)."""
+    rows = []
+    for i, kind, payload, duration in _media_payloads(n, seed):
+        if kind != "video":
+            continue
+        for ts in range(0, max(duration - 1, 0) + 1, every_ms):
+            start = ts % 997  # 0-based; Spark substring is 1-based +1
+            rows.append(
+                dict(media_id=i, ts_ms=ts, frame_bytes=payload[start : start + 64])
+            )
+    write(
+        "multimodal_frames",
+        rows,
+        pa.schema(
+            [("media_id", pa.int64()), ("ts_ms", pa.int32()),
+             ("frame_bytes", pa.binary())]
+        ),
+    )
+
+
+def gen_multimodal(n: int = 64, seed: int = 42) -> None:
+    rows = []
+    for i, kind, payload, _duration in _media_payloads(n, seed):
         arr = np.frombuffer(payload, dtype=np.uint8)
         hist, _ = np.histogram(arr, bins=32, range=(0, 256))
         total = hist.sum()
@@ -416,6 +445,7 @@ def main() -> None:
     gen_embedding_lsh_buckets()
     gen_ivf_candidates()
     gen_multimodal()
+    gen_multimodal_frames()
     gen_streaming_host_metrics()
 
 
