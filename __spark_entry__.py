@@ -259,6 +259,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("member_ids"),
         )
 
+    def corpus_prepare(spark, sf):
+        # End-to-end training-corpus preparation — the composition a webtext
+        # pipeline runs before tokenization: exact dedup -> language ID ->
+        # quality gate -> per-doc token accounting, all JVM-side except the
+        # dedup anti-join (itself fingerprint-only; text never shuffles).
+        # Echo rows (every 7th doc re-added under doc_id-200000) make the
+        # dedup stage observable: the echo wins first-writer min-id, so the
+        # oracle must implement dedup, not just the filters.
+        from go_crawler_spark.operators.dedup_corpus import exact_dedup
+
+        base = _t(spark, sf, "documents").select("doc_id", "text")
+        echoes = base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") - 200000).alias("doc_id"), "text"
+        )
+        kept = exact_dedup(base.unionByName(echoes), "text", "doc_id")
+        enriched = kept.select(
+            "doc_id",
+            T.lang_id(F.col("text")).alias("lang"),
+            F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.word_token_count(F.col("text")).alias("n_atoms"),
+        )
+        return enriched.filter(
+            (F.col("quality") >= 0.7) & (F.col("lang") != "und")
+        )
+
     def ngram_jaccard_pairs(spark, sf):
         # exact token-3-gram Jaccard for all pairs among doc_id < 30
         docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
@@ -630,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
+        "corpus_prepare": corpus_prepare,
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
         "fingerprints": fingerprints,
@@ -881,6 +908,52 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus
             GROUP BY md5({norm_text})
             HAVING count(*) > 1
+        """,
+        "corpus_prepare": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id - 200000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            fp AS (SELECT doc_id, text, md5({norm_text}) AS f FROM corpus),
+            win AS (SELECT f, min(doc_id) AS w FROM fp GROUP BY f),
+            kept AS (
+              SELECT fp.doc_id, fp.text FROM fp
+              JOIN win ON fp.f = win.f AND fp.doc_id = win.w
+            ),
+            s1 AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok,
+                     {en} AS h_en, {de} AS h_de, {fr} AS h_fr, {es} AS h_es,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\x0b\\f\\r]')) AS n_atoms
+              FROM kept
+            ),
+            s2 AS (
+              SELECT s1.*, greatest(h_en, h_de, h_fr, h_es) AS best FROM s1
+            ),
+            enr AS (
+              SELECT doc_id,
+                     CASE WHEN best = 0 THEN 'und'
+                          WHEN h_de = best THEN 'de'
+                          WHEN h_en = best THEN 'en'
+                          WHEN h_es = best THEN 'es'
+                          ELSE 'fr' END AS lang,
+                     round(
+                       0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                                   WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+                     + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                              ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END)
+                     + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                              ELSE h_en * 1.0 / ntok END), 6) AS quality,
+                     ntok AS n_tokens,
+                     n_atoms
+              FROM s2
+            )
+            SELECT doc_id, lang, quality, n_tokens, n_atoms FROM enr
+            WHERE quality >= 0.7 AND lang <> 'und'
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (
