@@ -259,6 +259,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("member_ids"),
         )
 
+    def repetition_scores(spark, sf):
+        # Gopher-style repetition quality signals (public paper; see
+        # operators/quality.py docstring)
+        from go_crawler_spark.operators.quality import repetition_scores as rep
+
+        docs = _t(spark, sf, "documents")
+        return rep(docs, "text", "doc_id")
+
     def corpus_prepare(spark, sf):
         # End-to-end training-corpus preparation — the composition a webtext
         # pipeline runs before tokenization: exact dedup -> language ID ->
@@ -491,6 +499,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         )
 
+    def neardup_components(spark, sf):
+        # near-dup pairs -> duplicate clusters: min-label propagation over
+        # the LSH pair edges (fixture oracle: independent union-find over
+        # the independently derived pair set)
+        from go_crawler_spark.operators.dedup_corpus import (
+            connected_components,
+            minhash_near_dups,
+        )
+
+        docs = _t(spark, sf, "documents")
+        pairs = minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+        return connected_components(pairs)
+
     def simhash_near_dup_pairs(spark, sf):
         docs = _t(spark, sf, "documents")
         return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
@@ -657,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
         "corpus_prepare": corpus_prepare,
+        "repetition_scores": repetition_scores,
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
         "fingerprints": fingerprints,
@@ -673,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_flagship": crawl_flagship,
         "crawl_extract_children": crawl_extract_children,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "neardup_components": neardup_components,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
         "embedding_ann_ivf": embedding_ann_ivf,
         "streaming_host_metrics": streaming_host_metrics,
@@ -909,6 +932,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5({norm_text})
             HAVING count(*) > 1
         """,
+        "repetition_scores": f"""
+            WITH tc AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest({toks_norm}) AS tok FROM documents)
+              WHERE tok <> '' GROUP BY doc_id, tok
+            ),
+            ta AS (
+              SELECT doc_id, sum(c) AS n_tok, max(c) AS max_tok,
+                     count(*) AS n_distinct
+              FROM tc GROUP BY doc_id
+            ),
+            bc AS (
+              SELECT doc_id, bg, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len({toks_norm}) - 1, 0)),
+                         i -> {toks_norm}[i] || ' ' || {toks_norm}[i+1])) AS bg
+                FROM documents)
+              GROUP BY doc_id, bg
+            ),
+            ba AS (
+              SELECT doc_id, sum(c) AS n_bg,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bg
+              FROM bc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   round(coalesce(max_tok * 1.0 / n_tok, 0.0), 6) AS top_token_frac,
+                   round(coalesce(dup_bg * 1.0 / n_bg, 0.0), 6) AS dup_bigram_frac,
+                   round(coalesce(n_distinct * 1.0 / n_tok, 0.0), 6) AS distinct_ratio
+            FROM documents d
+            LEFT JOIN ta USING (doc_id)
+            LEFT JOIN ba USING (doc_id)
+        """,
         "corpus_prepare": f"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
@@ -1052,6 +1108,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_pairs": f"""
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM read_parquet('{fix}/minhash_pairs.parquet')
+            WHERE sf = {sf_key}
+        """,
+        "neardup_components": f"""
+            SELECT node, component
+            FROM read_parquet('{fix}/neardup_components.parquet')
             WHERE sf = {sf_key}
         """,
         "embedding_near_dup_lsh": f"""

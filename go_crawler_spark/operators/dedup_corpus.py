@@ -528,3 +528,76 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components (cluster assignment from pairwise edges)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``edges``;
+    ``component`` = the minimum node id reachable through the edge set.
+
+    This is the cluster-assignment stage a dedup pipeline runs after LSH
+    pair generation: near-dup PAIRS become duplicate GROUPS (keep one
+    representative per component, drop the rest).
+
+    Algorithm: min-label propagation — every round each node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds. Near-dup graphs are shallow (clusters of a handful of
+    variants, diameter 2-3), so this is the right default; for adversarial
+    high-diameter graphs at 10^10 nodes, the round body swaps for the
+    large-star/small-star step of Kiveris et al. 2014 ("Connected
+    Components in MapReduce and Beyond", public paper) under the same
+    driver loop.
+
+    Scale shape: each round is one shuffle keyed on node id over
+    ``(node, label)`` longs — never document content. ``localCheckpoint``
+    cuts lineage each round (otherwise round k re-executes rounds 1..k-1),
+    and the convergence probe is a bounded count, not a collect.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)  # rescanned every round
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "label"), on="v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("u").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "prev"), on="node"
+            )
+            .filter(F.col("label") != F.col("prev"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -54,3 +54,16 @@ def test_edges_from_fetched_roundtrip(spark):
     rows = edges.collect()
     assert len(rows) > 0
     assert all(r["src"].startswith("https://") and r["dst"].startswith("https://") for r in rows)
+
+
+def test_connected_components_chain(spark):
+    """Chain 1-2-3-4 needs multiple propagation rounds (diameter 3);
+    plus a separate pair and a separate triangle component."""
+    from go_crawler_spark.operators.dedup_corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10), (8, 10)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}

@@ -256,6 +256,40 @@ def gen_minhash_pairs(threshold: float = 0.5) -> None:
 # ---------------------------------------------------------------------------
 
 
+def gen_neardup_components() -> None:
+    """Union-find over the (independently derived) minhash near-dup pairs —
+    expected output of dedup_corpus.connected_components over those edges.
+    Runs after gen_minhash_pairs (reads its parquet)."""
+    data = pq.read_table(os.path.join(FIXTURES, "minhash_pairs.parquet")).to_pydict()
+    rows = []
+    for sf in SFS:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, s in zip(data["id_a"], data["id_b"], data["sf"]):
+            if s != sf:
+                continue
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for node in sorted(parent):
+            rows.append(dict(node=node, component=find(node), sf=sf))
+    write(
+        "neardup_components",
+        rows,
+        pa.schema(
+            [("node", pa.int64()), ("component", pa.int64()), ("sf", pa.string())]
+        ),
+    )
+
+
 def gen_embedding_lsh_buckets(
     n_planes: int = 4, n_tables: int = 32, dim: int = 64, seed: int = 7
 ) -> None:
@@ -442,6 +476,7 @@ def main() -> None:
     gen_crawl_children()
     gen_simhash_pairs()
     gen_minhash_pairs()
+    gen_neardup_components()
     gen_embedding_lsh_buckets()
     gen_ivf_candidates()
     gen_multimodal()
