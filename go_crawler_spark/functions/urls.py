@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import posixpath
+import re
 from typing import Iterator, Optional
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
@@ -28,6 +29,50 @@ from pyspark.sql.types import StringType
 # pure functions
 # ---------------------------------------------------------------------------
 
+# Fast paths for the URL shapes that dominate a web corpus. Each is gated
+# to inputs where it is PROVABLY byte-equivalent to the urllib/posixpath
+# general path (the gate falls through to the stdlib on anything unusual),
+# and pinned by differential tests (tests/test_urls.py) that compare fast
+# vs stdlib over generated and golden inputs. urllib's generic parser costs
+# ~25 µs per resolve — ×20 resources/page × 10^10 pages it is the single
+# largest CPU line in the crawl after the HTML scan itself.
+
+# netloc restricted to printable ASCII reg-name/userinfo/port characters,
+# EXCLUDING brackets: urlsplit raises ValueError on mismatched or invalid
+# bracketed (IPv6) hosts and on non-ASCII netlocs whose NFKC normalization
+# introduces separators, so any url whose authority falls outside this
+# class must take the stdlib path to reproduce those outcomes
+_NETLOC_SAFE = r"[A-Za-z0-9._~%!$&'()*+,;=:@-]"
+
+# absolute http(s) URL with lowercase scheme, a real authority, and a
+# '/'-rooted path free of dot segments: fragment-strip + resolve is the
+# identity (urlsplit/urlunsplit roundtrip exactly; urljoin returns the
+# ref unchanged after its no-op remove_dot_segments)
+_ABS_FAST_RE = re.compile(
+    r"^https?://" + _NETLOC_SAFE + r"+(/(?:[^?#/\\]*/)*[^?#/\\]*)(\?[^#]*)?(#.*)?$"
+)
+# relative reference: plain path segments (no scheme/authority/rooted
+# start, no dot segments, no backslash or other parse-altering chars),
+# optional non-empty-or-absent query, optional fragment (stripped)
+_REL_FAST_RE = re.compile(
+    r"^(?!/)(?![A-Za-z][A-Za-z0-9+.-]*:)"
+    r"((?:[^/?#\\:]+/)*[^/?#\\:]+)(\?[^#]*)?(#.*)?$"
+)
+# base page URL usable for fast relative resolution: absolute http(s),
+# no query/fragment of its own, no dot segments, and no EMPTY path
+# segments — urljoin's merge step drops empty segments ("//a//b" → "/a/b"),
+# so double-slash bases take the slow path
+_BASE_FAST_RE = re.compile(
+    r"^(https?://" + _NETLOC_SAFE + r"+)((?:/[^?#/\\]+)*/?)$"
+)
+
+_DOTSEG_RE = re.compile(r"(?:^|/)\.\.?(?:/|$)")
+
+# urlsplit strips C0-control-or-space characters from both ends of the url
+# and removes tab/CR/LF anywhere before splitting; a string containing any
+# of those must take the stdlib path so the stripping is reproduced
+_WS_UNSAFE_RE = re.compile(r"^[\x00-\x20]|[\x00-\x20]$|[\t\n\r]")
+
 
 def canonicalize(page_url: str, src: str) -> Optional[str]:
     """Fragment-strip then absolutize ``src`` against ``page_url``.
@@ -36,6 +81,38 @@ def canonicalize(page_url: str, src: str) -> Optional[str]:
     (return None), the fragment is cleared *before* resolution, and
     resolution follows RFC 3986 (Go's ResolveReference ≡ urljoin).
     """
+    if not _WS_UNSAFE_RE.search(src):
+        m = _ABS_FAST_RE.match(src)
+        if (
+            m
+            and not _DOTSEG_RE.search(m.group(1))
+            and m.group(2) != "?"
+            # the slow path still urlsplits page_url inside urljoin, which
+            # can raise ValueError (→ None) for bracketed or non-ASCII
+            # authorities — only skip the parse when that cannot happen
+            and page_url.isascii()
+            and "[" not in page_url
+            and "]" not in page_url
+        ):
+            # identity resolve: drop the fragment, keep everything else
+            return src[: m.start(3)] if m.group(3) is not None else src
+        m = _REL_FAST_RE.match(src)
+        if (
+            m
+            and not _DOTSEG_RE.search(m.group(1))
+            and m.group(2) != "?"
+            and not _WS_UNSAFE_RE.search(page_url)
+        ):
+            b = _BASE_FAST_RE.match(page_url)
+            if b and not _DOTSEG_RE.search(b.group(2)):
+                ref = src[: m.start(3)] if m.group(3) is not None else src
+                base_path = b.group(2)
+                base_dir = base_path[: base_path.rfind("/") + 1] or "/"
+                return b.group(1) + base_dir + ref
+    return _canonicalize_slow(page_url, src)
+
+
+def _canonicalize_slow(page_url: str, src: str) -> Optional[str]:
     try:
         parts = urlsplit(src)
     except ValueError:
@@ -49,9 +126,20 @@ def canonicalize(page_url: str, src: str) -> Optional[str]:
         return None
 
 
+# scheme://authority prefix whose netloc a plain scan can read off —
+# identical to urlsplit().netloc whenever the url starts scheme + "//"
+# with a bracket-free ASCII authority (see _NETLOC_SAFE)
+_NETLOC_FAST_RE = re.compile(
+    r"^[A-Za-z][A-Za-z0-9+.-]*://(" + _NETLOC_SAFE + r"*)(?=[/?#]|$)"
+)
+
+
 def host_of(url: str) -> str:
     """Host component (netloc) — the reference compares url.Host which
     includes the port (internal/pageparser.go:45)."""
+    m = _NETLOC_FAST_RE.match(url)
+    if m and not _WS_UNSAFE_RE.search(url):
+        return m.group(1)
     try:
         return urlsplit(url).netloc
     except ValueError:
@@ -119,6 +207,14 @@ def md5_hex(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
+# scheme://netloc followed by the path (up to '?' or '#') — reads off
+# exactly urlsplit().path whenever the url has a scheme + authority with
+# a bracket-free ASCII netloc (anything else falls through to urlsplit)
+_URL_PATH_FAST_RE = re.compile(
+    r"^[A-Za-z][A-Za-z0-9+.-]*://" + _NETLOC_SAFE + r"*((?:/[^?#]*)?)(?=[?#]|$)"
+)
+
+
 def resolve_local_save_path(url: str, fallback_name: str, ext: str) -> str:
     """ref: internal/models.go:213-231.
 
@@ -126,8 +222,14 @@ def resolve_local_save_path(url: str, fallback_name: str, ext: str) -> str:
     md5(full url); pages add ".html" (models.go:61-63), assets add nothing
     (models.go:187-189).
     """
-    parts = urlsplit(url)
-    path = parts.path
+    m = _URL_PATH_FAST_RE.match(url)
+    if m and not _WS_UNSAFE_RE.search(url):
+        path = m.group(1)
+    else:
+        try:
+            path = urlsplit(url).path
+        except ValueError:
+            path = ""
     d = go_path_dir(path)
     name = go_path_base(path)
     if name in (".", "/"):
@@ -163,7 +265,22 @@ def make_relative_url(root_path: str, local_path: str) -> str:
     from_dir = go_path_dir(root_path)
     if from_dir.startswith("/") != local_path.startswith("/"):
         return "./" + go_path_base(local_path)
-    rel = posixpath.relpath(local_path, from_dir)
+    # fast path: when neither operand carries '..' segments, relpath is
+    # plain common-prefix stripping — posixpath.relpath's abspath round
+    # trips (cwd join + normpath) only matter for '..'-bearing inputs,
+    # which go_path_clean'd save paths produce only for unresolvable
+    # relative paths (differential-tested in tests/test_urls.py)
+    if local_path and ".." not in local_path and ".." not in from_dir:
+        p = [s for s in local_path.split("/") if s and s != "."]
+        q = [s for s in from_dir.split("/") if s and s != "."]
+        i = 0
+        n = min(len(p), len(q))
+        while i < n and p[i] == q[i]:
+            i += 1
+        parts = [".."] * (len(q) - i) + p[i:]
+        rel = "/".join(parts) if parts else "."
+    else:
+        rel = posixpath.relpath(local_path, from_dir)
     if not rel.startswith("."):
         rel = "./" + rel
     return rel

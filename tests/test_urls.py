@@ -134,3 +134,126 @@ class TestMakeRelativeURL:
     def test_mixed_abs_rel_fallback(self):
         # Go filepath.Rel errors on mixed abs/rel → fallback "./"+base
         assert make_relative_url("index.html", "/x/y.css") == "./y.css"
+
+
+class TestFastPathsDifferential:
+    """The regex fast paths in functions/urls.py must be byte-equivalent
+    to the urllib/posixpath general paths on every input that takes them.
+    Strategy: drive BOTH implementations over adversarial + generated
+    inputs and assert equality (the gates may send any input to the slow
+    path — that is always safe — but a fast-path result must match what
+    the stdlib would have produced)."""
+
+    BASES = [
+        "https://www.sheldonbrown.com/web_sample1.html",
+        "https://host.example.com/a/b/c.html",
+        "https://host.example.com/",
+        "https://host.example.com",
+        "https://h:8080/x/y.html",
+        "http://h/p.html?q=1",
+        "http://h/p.html#frag",
+        "https://h//double//slash.html",
+        "ftp://h/p",
+        "relative/base.html",
+        "",
+    ]
+    SRCS = [
+        "p8.html", "img/p0.jpg", "common/app.js?v=1", "a#f", "#f", "",
+        "x.html#", "x.html?", "?q", "/rooted/x.css", "//proto-rel.com/x",
+        "https://abs.com/x.html", "https://abs.com/x.html#frag",
+        "HTTP://UPPER.com/x", "https://abs.com", "https://abs.com/",
+        "./dot/x.html", "../up/x.html", "a/./b.html", "a/../b.html",
+        "a//b.html", "mailto:x@y.z", "javascript:void(0)", "data:text/plain,x",
+        "x y.html", "x%20y.html", "sub.dir/deep/er/x.png",
+        "https://a\\b/c", "a\\b.html", "p.html?a=1&b=2#x",
+        "https://h/p?", "https://h/p?#f", ":colon", "a:b/c",
+        " ", " x.html", "x.html ", "a\tb.html", "https://h/p\t.html",
+        "https://h/p ", "https://[::1]/x", "https://[bad/x",
+        "https://hést.com/x", "https://＃.com/x", "x\né.html",
+    ]
+
+    def test_canonicalize_matches_slow(self):
+        from go_crawler_spark.functions.urls import _canonicalize_slow
+
+        for base in self.BASES:
+            for src in self.SRCS:
+                assert canonicalize(base, src) == _canonicalize_slow(base, src), (
+                    base, src)
+
+    def test_canonicalize_matches_slow_hypothesis(self):
+        from hypothesis import given, settings, strategies as st
+
+        from go_crawler_spark.functions.urls import _canonicalize_slow
+
+        seg = st.text(
+            alphabet="abcXYZ019-._~%+\\:@ #?/\t\n[]é", min_size=0, max_size=8
+        )
+        url_s = st.one_of(
+            seg,
+            st.tuples(
+                st.sampled_from(["https://", "http://", "HTTPS://", "//", ""]),
+                st.sampled_from(["h", "h.example.com", "h:80", ""]),
+                seg,
+            ).map(lambda t: t[0] + t[1] + "/" + t[2]),
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(base=url_s, src=url_s)
+        def check(base, src):
+            assert canonicalize(base, src) == _canonicalize_slow(base, src)
+
+        check()
+
+    def test_host_of_matches_urlsplit(self):
+        from urllib.parse import urlsplit
+
+        for u in self.BASES + self.SRCS:
+            try:
+                expect = urlsplit(u).netloc
+            except ValueError:
+                expect = ""
+            assert host_of(u) == expect, u
+
+    def test_save_path_extraction_matches_urlsplit(self):
+        for u in self.BASES + self.SRCS:
+            # the function's contract is urlsplit(url).path feeding the Go
+            # path pipeline; compare against a slow-path clone
+            from urllib.parse import urlsplit
+
+            from go_crawler_spark.functions.urls import (
+                go_path_base as b, go_path_clean as c, go_path_dir as d,
+            )
+            import posixpath
+
+            try:
+                path = urlsplit(u).path
+            except ValueError:
+                path = ""
+            dd, name = d(path), b(path)
+            if name in (".", "/"):
+                name = "index"
+            if name == "":
+                name = md5_hex(u)
+            expect = c(posixpath.join(dd, name)) + ".html"
+            assert resolve_local_save_path(u, "index", "html") == expect, u
+
+    def test_make_relative_url_matches_posixpath(self):
+        import posixpath
+
+        from go_crawler_spark.functions.urls import go_path_base, go_path_dir
+
+        paths = [
+            "a/b.html", "a/b/c.css", "x.html", "/r/a.html", "/r/b/c.js",
+            "a/b/../c.html", "../up.html", "deep/er/still/x.png", "/",
+            "a", "a/", "a//b", "common/site.css",
+        ]
+        for root in paths:
+            for local in paths:
+                from_dir = go_path_dir(root)
+                if from_dir.startswith("/") != local.startswith("/"):
+                    expect = "./" + go_path_base(local)
+                else:
+                    expect = posixpath.relpath(local, from_dir)
+                    if not expect.startswith("."):
+                        expect = "./" + expect
+                assert make_relative_url(root, local) == expect, (root, local)
