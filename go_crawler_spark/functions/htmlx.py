@@ -107,15 +107,159 @@ class _CollectParser(HTMLParser):
         self.handle_starttag(tag, attrs)
 
 
+# ---------------------------------------------------------------------------
+# fast tag scanner
+# ---------------------------------------------------------------------------
+#
+# html.parser walks every byte through goahead() with per-event method
+# dispatch, data/charref handling, and newline counting (updatepos) that
+# the resource collector never uses. This scanner hops '<'-to-'<' with the
+# SAME compiled regexes html.parser itself uses (tagfind_tolerant /
+# attrfind_tolerant / locatestarttagend_tolerant / endtagfind), so on the
+# constructs it accepts it is byte-equivalent to _CollectParser by
+# construction; any construct whose tolerant-mode handling has quirks
+# (comments, CDATA/marked sections, processing instructions, bogus
+# comments, junk-terminated start tags, non-canonical end tags) makes it
+# return None and the caller reparses with the real HTMLParser. Pinned by
+# differential + hypothesis tests in tests/test_htmlx.py.
+
+import html.parser as _hp
+
+from html import unescape as _unescape
+
+_LOCATESTART = _hp.locatestarttagend_tolerant
+_TAGFIND = _hp.tagfind_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_ENDTAGFIND = _hp.endtagfind
+# set_cdata_mode's per-element close pattern, verbatim
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in ("script", "style")
+}
+# a start-tag span containing none of these is "plain": every html.parser
+# recovery branch for it either ends the construct at the first '>' or
+# emits it as data and resumes at the next '<' — which, with no '<' in the
+# span, is the same place the skip lands
+_TAGSPAN_COMPLEX_RE = re.compile(r"[\"'/<]")
+_NAME_END_RE = re.compile(r"[\t\n\r\f ]")
+# tags whose attrs (or cdata content mode) the scanner must actually parse
+_INTERESTING_TAGS = frozenset(("a", "link", "script", "img", "style"))
+
+
+def _fast_collect(s: str) -> Optional[list[tuple[str, str, int, str]]]:
+    """One-pass clone of ``_CollectParser.found`` over the latin-1 page
+    string, or None when the input needs the full HTMLParser."""
+    found: list[tuple[str, str, int, str]] = []
+    i = 0
+    find = s.find
+    while True:
+        lt = find("<", i)
+        if lt < 0:
+            return found
+        nxt = s[lt + 1 : lt + 2]
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+            gt = find(">", lt + 1)
+            if gt < 0:
+                # no '>' left anywhere: no start tag can ever complete, so
+                # no further resources exist (the EOF recovery re-scan only
+                # finds constructs that also fail to complete)
+                return found
+            span = s[lt + 1 : gt]
+            if not _TAGSPAN_COMPLEX_RE.search(span):
+                nm = _NAME_END_RE.search(span)
+                name = (span[: nm.start()] if nm else span).lower()
+                if name not in _INTERESTING_TAGS:
+                    # plain non-resource tag (or data that html.parser
+                    # re-emits and resumes after this same '>'): skip it
+                    i = gt + 1
+                    continue
+            # parse_starttag, minus the junk-recovery branches
+            m = _LOCATESTART.match(s, lt)
+            j = m.end()
+            c = s[j : j + 1]
+            if c == ">":
+                endpos = j + 1
+            elif c == "/" and s.startswith("/>", j):
+                endpos = j + 2
+            else:
+                return None  # tolerant junk/EOF recovery → HTMLParser
+            tm = _TAGFIND.match(s, lt + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            attrs: List[Tuple[str, Optional[str]]] = []
+            while k < endpos:
+                am = _ATTRFIND.match(s, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            if s[k:endpos].strip() not in (">", "/>"):
+                return None  # parse_starttag would emit this as data
+            if tag in RESOURCE_TAGS:
+                src = _resource_src(tag, attrs)
+                if src is not None:
+                    found.append((tag, src, lt, s[lt:endpos]))
+            i = endpos
+            if tag in ("script", "style") and endpos == j + 1:
+                # CDATA content mode: skip to the tag's own close pattern
+                # (goahead's `interesting` in cdata mode); an unclosed
+                # element swallows the rest of the document as data
+                cm = _CDATA_CLOSE[tag].search(s, endpos)
+                if not cm:
+                    return found
+                i = cm.end()
+        elif nxt == "/":
+            # every parse_endtag branch (exact close, tolerant junk, bogus
+            # comment, '</>') advances to the first '>' + 1 and emits no
+            # resources; with no '>' left, nothing can complete after it
+            gt = find(">", lt + 2)
+            if gt < 0:
+                return found
+            i = gt + 1
+        elif nxt == "!":
+            if s[lt : lt + 9].lower() == "<!doctype":
+                gt = find(">", lt + 9)
+                if gt < 0:
+                    return None  # unterminated decl: EOF re-scan quirks
+                i = gt + 1
+            else:
+                return None  # comment / marked section / bogus comment
+        elif nxt == "?":
+            return None  # processing instruction
+        elif nxt == "":
+            return found  # lone '<' at EOF is data
+        else:
+            i = lt + 1  # '<' not opening a construct is data
+
+
+def _collect(s: str) -> list[tuple[str, str, int, str]]:
+    """(tag, src, byte_offset, raw_tag_text) in document order — fast
+    scanner when the input qualifies, full HTMLParser otherwise."""
+    found = _fast_collect(s)
+    if found is None:
+        p = _CollectParser()
+        p.feed_text(s)
+        found = p.found
+    return found
+
+
 def extract_resources_raw(html: bytes) -> list[tuple[str, str, int]]:
     """Raw-layer extraction: (tag, src, pos) in document order, externals
     kept — ref: pkg/htmlparser/parser.go:20-39 (the parser layer does no
     host filtering, pinned by pkg/htmlparser/parser_test.go:56-59)."""
     if not html:
         return []
-    p = _CollectParser()
-    p.feed_text(html.decode("latin-1"))
-    return [(t, s, i) for i, (t, s, _, _) in enumerate(p.found)]
+    found = _collect(html.decode("latin-1"))
+    return [(t, s, i) for i, (t, s, _, _) in enumerate(found)]
 
 
 def resolve_links_and_assets(page_url: str, html: bytes) -> list[tuple[str, str, int]]:
@@ -207,14 +351,12 @@ def parse_page(page_url: str, html: bytes) -> tuple[list[tuple[str, str, int]], 
     if not html:
         return [], html
     s = html.decode("latin-1")
-    p = _CollectParser()
-    p.feed_text(s)
     page_host = host_of(page_url)
     page_path = page_save_path(page_url)
 
     children: list[tuple[str, str, int]] = []
     edits: list[tuple[int, int, str]] = []
-    for pos, (tag, src, off, raw) in enumerate(p.found):
+    for pos, (tag, src, off, raw) in enumerate(_collect(s)):
         resolved = canonicalize(page_url, src)
         if resolved is None or host_of(resolved) != page_host:
             continue
@@ -263,13 +405,11 @@ def rewrite_html(html: bytes, page_url: str) -> bytes:
     if not html:
         return html
     s = html.decode("latin-1")
-    p = _CollectParser()
-    p.feed_text(s)
     page_host = host_of(page_url)
     page_path = page_save_path(page_url)
 
     edits: list[tuple[int, int, str]] = []  # (start, end, replacement) over raw tag span
-    for tag, src, off, raw in p.found:
+    for tag, src, off, raw in _collect(s):
         resolved = canonicalize(page_url, src)
         if resolved is None or host_of(resolved) != page_host:
             continue

@@ -14,6 +14,7 @@ Reference semantics reproduced here:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import posixpath
 import re
@@ -66,6 +67,16 @@ _BASE_FAST_RE = re.compile(
     r"^(https?://" + _NETLOC_SAFE + r"+)((?:/[^?#/\\]+)*/?)$"
 )
 
+# rooted (host-relative) reference: single-'/' start, non-empty inner
+# segments (urljoin's segment walk preserves only '.'/'..'-free shapes
+# verbatim), optional query/fragment as in the other fast shapes
+_ROOTED_FAST_RE = re.compile(
+    r"^(/(?!/)(?:[^/?#\\]+/)*[^/?#\\]*)(\?[^#]*)?(#.*)?$"
+)
+# base whose scheme://netloc prefix a rooted ref can be glued onto — the
+# base's own path/query/fragment are irrelevant for rooted resolution
+_HOSTONLY_FAST_RE = re.compile(r"^(https?://" + _NETLOC_SAFE + r"+)(?=[/?#]|$)")
+
 _DOTSEG_RE = re.compile(r"(?:^|/)\.\.?(?:/|$)")
 
 # urlsplit strips C0-control-or-space characters from both ends of the url
@@ -81,6 +92,11 @@ def canonicalize(page_url: str, src: str) -> Optional[str]:
     (return None), the fragment is cleared *before* resolution, and
     resolution follows RFC 3986 (Go's ResolveReference ≡ urljoin).
     """
+    if not src or src[0] == "#":
+        # fragment-only (or empty) ref: clearing the fragment leaves the
+        # empty reference, and urljoin(base, "") returns base verbatim
+        # before parsing it — exact for every page_url
+        return page_url
     if not _WS_UNSAFE_RE.search(src):
         m = _ABS_FAST_RE.match(src)
         if (
@@ -109,6 +125,17 @@ def canonicalize(page_url: str, src: str) -> Optional[str]:
                 base_path = b.group(2)
                 base_dir = base_path[: base_path.rfind("/") + 1] or "/"
                 return b.group(1) + base_dir + ref
+        m = _ROOTED_FAST_RE.match(src)
+        if (
+            m
+            and not _DOTSEG_RE.search(m.group(1))
+            and m.group(2) != "?"
+            and not _WS_UNSAFE_RE.search(page_url)
+        ):
+            b = _HOSTONLY_FAST_RE.match(page_url)
+            if b:
+                ref = src[: m.start(3)] if m.group(3) is not None else src
+                return b.group(1) + ref
     return _canonicalize_slow(page_url, src)
 
 
@@ -215,7 +242,8 @@ _URL_PATH_FAST_RE = re.compile(
 )
 
 
-def resolve_local_save_path(url: str, fallback_name: str, ext: str) -> str:
+@functools.lru_cache(maxsize=1 << 16)  # pure; shared asset/link targets
+def resolve_local_save_path(url: str, fallback_name: str, ext: str) -> str:  # repeat across pages — ~20 MB/worker bound
     """ref: internal/models.go:213-231.
 
     dir(path)+base(path); base of "." or "/" → fallback name; empty base →

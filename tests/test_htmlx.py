@@ -182,3 +182,113 @@ def test_parse_page_equals_extract_plus_rewrite():
         assert html_out == rewrite_html(h, u)
 
     assert parse_page("https://a.com/x.html", b"") == ([], b"")
+
+
+class TestFastScannerDifferential:
+    """_fast_collect must equal _CollectParser.found on every input where
+    it does not bail (returns None). The gates may reject anything — that
+    only costs speed — but an accepted input must produce the identical
+    (tag, src, offset, raw) stream, since parse_page trusts the offsets
+    for byte-exact in-place rewrites."""
+
+    ADVERSARIAL = [
+        # constructs the scanner must bail on (or handle identically)
+        b"<!-- <a href=x.html> --><a href=real.html>",
+        b"<script>var s = '<a href=fake.html>';</script><a href=r.html>",
+        b"<style>a { content: '<img src=f.jpg>'; }</style>",
+        b"<script src=ext.js>",  # unclosed cdata element
+        b"<a href='x.html'",  # unterminated tag at EOF
+        b"<a href=x.html><b",
+        b"<![CDATA[ <a href=f.html> ]]><a href=r.html>",
+        b"<?php echo '<a href=f.html>'; ?><a href=r.html>",
+        b"<!doctype html><a href=x.html>",
+        b"<!DOCTYPE html [ <!ENTITY x 'y'> ]><a href=x.html>",
+        b"<a href=\"x.html\" href=\"y.html\">first wins",
+        b"<a  HREF = 'z.html' >attr case",
+        b"<a href=x.html/>self closing",
+        b"<a href='a&amp;b.html'>entity in attr",
+        b"<a href='a&amp;b.html&bogus;'>partial entity",
+        b"< a href=x.html>not a tag",
+        b"<a/href=x.html>slash junk",
+        b"</a junk><a href=x.html>",
+        b"</><a href=x.html>",
+        b"<a href=>empty value",
+        b"<a href>valueless attr",
+        b"<A HREF=UPPER.HTML>",
+        b"<img src=1.jpg><img src=1.jpg>",
+        b"text only, no tags",
+        b"<",
+        b"",
+        b"trailing <",
+        b"<a href='un>closed.html'>gt in quoted value",
+        b"<a title='> <img src=inside.jpg>' href=x.html>",
+        b"<a\nhref='nl.html'>newline in tag",
+        b"<a href=x.html",
+        b"<script>no close",
+        b"<script></SCRIPT ><a href=x.html>",
+        b"<link rel=stylesheet href=s.css><link href=n.css>",
+        b"\xff\xfe<a href=x.html>latin-1 bytes",
+    ]
+
+    @staticmethod
+    def _slow(s: str):
+        from go_crawler_spark.functions.htmlx import _CollectParser
+
+        p = _CollectParser()
+        p.feed_text(s)
+        return p.found
+
+    def test_adversarial_corpus(self):
+        from go_crawler_spark.functions.htmlx import _fast_collect
+
+        for raw in self.ADVERSARIAL:
+            s = raw.decode("latin-1")
+            fast = _fast_collect(s)
+            if fast is not None:
+                assert fast == self._slow(s), raw
+
+    def test_datagen_pages_take_fast_path(self):
+        """The synthetic corpus must actually exercise the fast path —
+        a silent bail would quietly forfeit the speedup."""
+        from go_crawler_spark.datagen import page_html
+        from go_crawler_spark.functions.htmlx import _fast_collect
+
+        for i in range(40):
+            s = page_html(i, 300, 11, 4, (10, 60)).decode("latin-1")
+            fast = _fast_collect(s)
+            assert fast is not None, i
+            assert fast == self._slow(s), i
+
+    def test_golden_fixtures(self):
+        import pathlib
+
+        from go_crawler_spark.functions.htmlx import _fast_collect
+
+        for f in pathlib.Path(__file__).parent.glob("testdata/*.html"):
+            s = f.read_bytes().decode("latin-1")
+            fast = _fast_collect(s)
+            if fast is not None:
+                assert fast == self._slow(s), f
+
+    def test_hypothesis_html_soup(self):
+        from hypothesis import given, settings, strategies as st
+
+        from go_crawler_spark.functions.htmlx import _fast_collect
+
+        token = st.sampled_from([
+            "<a href=", "<a href='x.html'>", "<img src=\"1.jpg\"/>",
+            "<link rel=stylesheet href=s.css>", "<script", " src=x.js>",
+            "</script>", "</a>", "<script>", "var x = '", "'", "\"",
+            "<!doctype html>", "<!--", "-->", "<![CDATA[", "]]>", "<?", "?>",
+            "text ", "&amp;", "&", ";", "<", ">", "/", "=", " ", "\n", "\t",
+            "x.html", "a", "<b", "<style>", "</style>", "é", "\x00",
+        ])
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.lists(token, min_size=0, max_size=12).map("".join))
+        def check(s):
+            fast = _fast_collect(s)
+            if fast is not None:
+                assert fast == self._slow(s), s
+
+        check()

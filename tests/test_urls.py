@@ -170,6 +170,8 @@ class TestFastPathsDifferential:
         " ", " x.html", "x.html ", "a\tb.html", "https://h/p\t.html",
         "https://h/p ", "https://[::1]/x", "https://[bad/x",
         "https://hést.com/x", "https://＃.com/x", "x\né.html",
+        "/", "/a/b/", "/a//b", "/a/./b", "/a/../b", "/x?q=1", "/x?",
+        "/x#f", "#", "#top", "#a#b", " #top", "#\tx",
     ]
 
     def test_canonicalize_matches_slow(self):
