@@ -229,6 +229,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
+    def pii_scrub(spark, sf):
+        # PII redaction (emails, then phone-like digit runs) — map-only
+        # JVM regexp pass, no shuffle. The word-soup test corpus carries
+        # no PII, so the query plants one deterministic email + phone per
+        # doc (derived from doc_id) and the scrubber must remove exactly
+        # those; counts are taken pre-scrub / post-email-scrub so the
+        # oracle checks both pattern semantics and replacement bytes.
+        docs = _t(spark, sf, "documents")
+        enriched = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or call +1 (555) 01"),
+                F.col("doc_id").cast("string"),
+                F.lit(" now"),
+            ).alias("text"),
+        )
+        after_email = T.scrub_email(F.col("text"))
+        return enriched.select(
+            "doc_id",
+            T.scrub_pii(F.col("text")).alias("clean_text"),
+            F.regexp_count(F.col("text"), F.lit(T.PII_EMAIL_PATTERN)).alias(
+                "n_emails"
+            ),
+            F.regexp_count(after_email, F.lit(T.PII_PHONE_PATTERN)).alias(
+                "n_phones"
+            ),
+        )
+
+    def boilerplate_ngrams(spark, sf):
+        # C4/RefinedWeb-style boilerplate detection: corpus-wide document
+        # frequency of token 3-grams. explode -> two-phase aggregate
+        # (map-side partial counts) on the gram; at 100 TB the gram key
+        # space is huge but uniform (hash shuffle, no skew) and the df>=2
+        # filter drops the singleton long tail before the top-k sort.
+        docs = _t(spark, sf, "documents")
+        grams = docs.select(
+            "doc_id", F.explode(T.token_ngrams(F.col("text"), 3)).alias("gram")
+        )
+        return (
+            grams.groupBy("gram")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count(F.lit(1)).alias("n_occ"),
+            )
+            .filter(F.col("df") >= 2)
+            .orderBy(F.desc("df"), F.desc("n_occ"), F.asc("gram"))
+            .limit(100)
+        )
+
+    def chunk_dedup_clean(spark, sf):
+        # CCNet-style duplicated-chunk removal. The synthetic corpus has no
+        # cross-doc duplicate 12-token chunks, so (as in dedup_clusters)
+        # re-add every 10th doc under a shifted id: its chunks then occur
+        # in 2 documents and must be cut from BOTH copies.
+        from go_crawler_spark.operators.corpus_prep import chunk_dedup
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        return chunk_dedup(docs.unionByName(planted)).select(
+            "doc_id",
+            "clean_text",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+
+    def decontaminate_corpus(spark, sf):
+        # GPT-3-style n-gram decontamination: drop every corpus doc sharing
+        # a token 5-gram with the "benchmark" slice (doc_id % 50 == 0 —
+        # which also removes those docs themselves, plus any chance
+        # 5-gram collision in the word-soup vocabulary).
+        from go_crawler_spark.operators.corpus_prep import decontaminate
+
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+        return decontaminate(docs, bench, ngram=5).select(
+            "doc_id", "lang", "source"
+        )
+
+    def hash_split_assign(spark, sf):
+        from go_crawler_spark.operators.corpus_prep import hash_split
+
+        docs = _t(spark, sf, "documents")
+        return hash_split(docs).select("doc_id", "split")
+
+    def pack_sequences_bins(spark, sf):
+        from go_crawler_spark.operators.corpus_prep import pack_sequences
+
+        docs = _t(spark, sf, "documents")
+        return pack_sequences(docs, seq_len=256).select(
+            "source",
+            "bin_id",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+
+    def source_mix(spark, sf):
+        # alpha=0.5: sqrt is correctly rounded IEEE in both engines, so the
+        # 6-dp weights are bit-stable across Spark and the DuckDB oracle
+        from go_crawler_spark.operators.corpus_prep import source_mix_weights
+
+        docs = _t(spark, sf, "documents")
+        return source_mix_weights(docs, alpha=0.5).select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "weight",
+        )
+
     def fingerprints(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
@@ -681,6 +794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": repetition_scores,
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
+        "pii_scrub": pii_scrub,
+        "boilerplate_ngrams": boilerplate_ngrams,
+        "chunk_dedup_clean": chunk_dedup_clean,
+        "decontaminate_corpus": decontaminate_corpus,
+        "hash_split_assign": hash_split_assign,
+        "pack_sequences_bins": pack_sequences_bins,
+        "source_mix": source_mix,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -732,7 +852,11 @@ def oracle_sql() -> dict[str, str]:
         lst = ", ".join(f"'{w}'" for w in words)
         return f"len(list_filter({toks_raw}, t -> t in ({lst})))"
 
-    from go_crawler_spark.functions.text import LANG_MARKERS
+    from go_crawler_spark.functions.text import (
+        LANG_MARKERS,
+        PII_EMAIL_PATTERN as _PII_EMAIL,
+        PII_PHONE_PATTERN as _PII_PHONE,
+    )
 
     en = lang_hits(LANG_MARKERS["en"])
     de = lang_hits(LANG_MARKERS["de"])
@@ -905,6 +1029,135 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {en} AS h_en, {de} AS h_de,
                        {fr} AS h_fr, {es} AS h_es
                 FROM documents))
+        """,
+        "pii_scrub": """
+            WITH enriched AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com or call +1 (555) 01'
+                          || CAST(doc_id AS VARCHAR) || ' now' AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text, '%(e)s', '<EMAIL>', 'g'),
+                     '%(p)s', '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(text, '%(e)s')) AS n_emails,
+                   len(regexp_extract_all(
+                     regexp_replace(text, '%(e)s', '<EMAIL>', 'g'),
+                     '%(p)s')) AS n_phones
+            FROM enriched
+        """
+        % {"e": _PII_EMAIL, "p": _PII_PHONE},
+        "boilerplate_ngrams": f"""
+            WITH toks AS (
+              SELECT doc_id, {toks_norm} AS t FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+              FROM toks)
+            SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+            FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY df DESC, n_occ DESC, gram ASC LIMIT 100
+        """,
+        "chunk_dedup_clean": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            ), cl AS (
+              SELECT doc_id,
+                     CASE WHEN len({norm_text}) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(
+                            generate_series(1,
+                              CAST(ceil(len({toks_norm}) / 12.0) AS INT)),
+                            i -> array_to_string(
+                              ({toks_norm})[(i-1)*12+1:(i-1)*12+12], ' '))
+                     END AS chunks
+              FROM corpus
+            ), ex AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(chunks))) AS i,
+                     unnest(chunks) AS chunk
+              FROM cl
+            ), dup AS (
+              SELECT chunk FROM ex
+              GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+            ), keep AS (
+              SELECT ex.doc_id, ex.i, ex.chunk FROM ex
+              ANTI JOIN dup USING (chunk)
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY i) AS clean_text,
+                     count(*) AS n_kept
+              FROM keep GROUP BY doc_id
+            )
+            SELECT cl.doc_id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   len(cl.chunks) AS n_chunks,
+                   len(cl.chunks) - coalesce(agg.n_kept, 0) AS n_removed
+            FROM cl LEFT JOIN agg USING (doc_id)
+        """,
+        "decontaminate_corpus": f"""
+            WITH toks AS (
+              SELECT doc_id, {toks_norm} AS t FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+            ), bad AS (
+              SELECT DISTINCT g.doc_id FROM g SEMI JOIN bench USING (gram)
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d ANTI JOIN bad USING (doc_id)
+        """,
+        "hash_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                             THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "pack_sequences_bins": r"""
+            WITH t AS (
+              SELECT source, doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]')) AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT source, doc_id, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                       AS cum
+              FROM t
+            )
+            SELECT source,
+                   CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM c GROUP BY source, bin_id
+        """,
+        "source_mix": r"""
+            WITH s AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]')))
+                       AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(sqrt(CAST(n_tokens AS DOUBLE))
+                         / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6)
+                     AS weight
+            FROM s
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents

@@ -158,3 +158,36 @@ def token_ngrams(col: Column, n: int = 3) -> Column:
             )
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+#
+# Patterns deliberately restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle): character classes, greedy
+# bounded/unbounded quantifiers, no lookarounds or backreferences. Both
+# engines use leftmost matching with greedy quantifiers here, so the
+# replacements are byte-identical — verified by the pii_scrub oracle.
+
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-ish phone: leading digit (optionally +), then >=6 chars of
+# digits/separators, ending in a digit — conservative on purpose: a scrub
+# pass at corpus scale should over-redact rather than leak
+PII_PHONE_PATTERN = r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]"
+
+
+def scrub_email(col: Column) -> Column:
+    return F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>")
+
+
+def scrub_phone(col: Column) -> Column:
+    return F.regexp_replace(col, PII_PHONE_PATTERN, "<PHONE>")
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails then phone-like digit runs (in that order: the email
+    pass removes the digits an email's local part would otherwise leak
+    into the phone pass). Pure JVM regexp_replace — codegen'd, no Python;
+    at 100 TB this runs as a map-only pass with no shuffle."""
+    return scrub_phone(scrub_email(col))

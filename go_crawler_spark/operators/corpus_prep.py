@@ -1,0 +1,264 @@
+"""Corpus-preparation operators for training-data pipelines: chunk-level
+(CCNet-style) dedup, benchmark decontamination, deterministic hash splits,
+sequence packing, and temperature-based source mixing.
+
+These extend the reference engine (whose text layer stops at HTML text
+extraction, internal/pageparser.go) with the operations a 100 TB webtext
+corpus needs between "crawled" and "trainable". All of them are pure JVM
+``pyspark.sql.functions`` plans — no Python UDFs anywhere — and each has an
+exact DuckDB oracle in ``__spark_entry__.oracle_sql``.
+
+Public-knowledge provenance: CCNet paragraph-hash dedup (Wenzek et al.
+2020, "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data"), n-gram decontamination (Brown et al. 2020 GPT-3 appendix C),
+temperature-based source sampling (Arivazhagan et al. 2019, multilingual
+NMT), and fixed-length sequence packing as used by every LLM data loader.
+
+Scale shapes (the part that matters at 100 TB):
+
+- ``chunk_dedup``: the corpus-wide duplicate-chunk census shuffles ONLY
+  8-byte xxhash64 fingerprints + doc ids — never text. Removed-chunk
+  indices (a tiny per-doc int array) are joined back to the full table and
+  the clean text is re-cut map-side from the original column, so document
+  bytes cross no exchange at all.
+- ``decontaminate``: the benchmark n-gram set is aggregated (distinct,
+  hash-only) and broadcast; contamination is a broadcast semi-join on the
+  gram hash followed by a broadcast anti-join of the matched doc ids —
+  the 100 TB side is never shuffled.
+- ``hash_split``: stateless map-only expression (md5-hex band compare);
+  any executor can evaluate it independently, so the split is stable
+  across reruns, partitionings, and cluster sizes.
+- ``pack_sequences``: packing is windowed *within a source shard*
+  (`partitionBy(source)`) — embarrassingly parallel across shards, which
+  is how real loaders pack anyway; no global ordering is ever required.
+- ``source_mix_weights``: two-phase aggregate to one row per source (a
+  few thousand at web scale), then a tiny single-partition normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from go_crawler_spark.functions.text import (
+    _bound_once,
+    normalize_for_fingerprint,
+    token_ngrams,
+    tokens,
+    word_token_count,
+)
+
+CHUNK_TOKENS = 12  # CCNet uses paragraphs; word-soup test docs have no
+# newlines, so the deterministic analog is fixed 12-token windows
+
+
+def token_chunks(col, size: int = CHUNK_TOKENS):
+    """Non-overlapping ``size``-token windows over the normalized token
+    stream, as an array of strings; [] for empty text. JVM-only
+    (sequence + slice + concat_ws), normalization evaluated once/row."""
+    return _bound_once(
+        tokens(normalize_for_fingerprint(col)),
+        lambda toks: F.when(
+            F.length(F.concat_ws("", toks)) == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.floor((F.size(toks) + (size - 1)) / size).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - F.lit(1)) * size + 1, size)
+                ),
+            )
+        ),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = CHUNK_TOKENS,
+    broadcast_removed: bool = True,
+) -> DataFrame:
+    """CCNet-style duplicated-chunk removal: cut every document into
+    ``chunk_size``-token windows, census them corpus-wide, and delete every
+    window that appears in ≥2 distinct documents. Returns
+    ``(id_col, clean_text, n_chunks, n_removed)`` — row-preserving (a doc
+    whose every chunk is boilerplate survives with empty clean_text).
+
+    Plan: explode (id, idx, xxhash64(chunk)) → distinct → two-phase count
+    per fingerprint → filter df≥2 → semi-join the exploded index table →
+    collect removed idx per doc (tiny rows) → join back to the original
+    table and re-cut the text map-side, keeping only surviving windows.
+    Document bytes never enter an exchange; the exploded joins carry
+    (8-byte hash, id, idx) triples only.
+
+    ``broadcast_removed`` controls the final join-back: True (default)
+    broadcasts the per-doc removed-index table so the big table is read
+    map-side only — right whenever docs-with-a-duplicated-chunk fit in a
+    broadcast (CCNet keeps its dup-hash set in memory the same way). When
+    the removed set itself is too big (boilerplate-heavy crawl at full
+    scale), pass False for a shuffle-hash join on the id — the text then
+    crosses one exchange, the same cost class as the fetch join's
+    large-round fallback (operators/fetch.py) and best served by
+    storage-partitioning both tables on the id.
+    """
+    chunks = token_chunks(F.col(text_col), chunk_size)
+    idx_fp = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("idx", "chunk"),
+    ).select(id_col, "idx", F.xxhash64("chunk").alias("fp"))
+
+    dup_fps = (
+        idx_fp.select(id_col, "fp")
+        .distinct()  # per-doc repeats count once toward document frequency
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("fp")
+    )
+    removed = (
+        idx_fp.join(dup_fps, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("idx")).alias("removed_idx"))
+    )
+
+    if broadcast_removed:
+        removed = F.broadcast(removed)
+    else:
+        removed = removed.hint("shuffle_hash")
+    out = df.join(removed, id_col, "left")
+    rm = F.coalesce(
+        F.col("removed_idx"), F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        chunks, lambda c, i: ~F.array_contains(rm, i.cast("int"))
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(chunks).alias("n_chunks"),
+        F.size(rm).alias("n_removed"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Drop every corpus document that shares a token ``ngram``-gram with
+    any benchmark document (GPT-3-style test-set decontamination).
+    ``bench_df`` needs the same ``text_col``. Returns the surviving rows of
+    ``df`` unchanged.
+
+    Plan: the benchmark gram set (distinct xxhash64) is tiny relative to
+    the corpus → broadcast; corpus grams explode to (id, hash) and
+    broadcast-semi-join; the contaminated id set (≤ #docs, usually ≪) is
+    broadcast-anti-joined back. The 100 TB side is never shuffled — both
+    joins stream map-side against broadcast tables.
+    """
+    grams = token_ngrams(F.col(text_col), ngram)
+    bench_grams = (
+        bench_df.select(F.explode(grams).alias("g"))
+        .select(F.xxhash64("g").alias("gfp"))
+        .distinct()
+    )
+    contaminated = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.xxhash64("g").alias("gfp"))
+        .join(F.broadcast(bench_grams), "gfp", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+# md5-hex first-character bands: 16 equiprobable buckets (md5 is uniform),
+# compared lexicographically so the same expression runs in any SQL engine.
+SPLIT_BANDS = (("train", "0", "c"), ("val", "c", "e"), ("test", "e", "g"))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment (12/2/2 sixteenths) from
+    ``md5(cast(id))`` — stateless and map-only, so membership is stable
+    under reruns, repartitioning, and incremental corpus growth (a doc's
+    split never depends on other rows). Adds a ``split`` column."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SPLIT_BANDS):
+        expr = F.when((h >= lo) & (h < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seq_len: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences: within each
+    source shard, in deterministic ``id_col`` order, documents fill bins of
+    ``seq_len`` (BPE-ish) tokens — bin = floor(tokens-before-this-doc /
+    seq_len), the streaming-cumsum packing every LLM loader uses. Returns
+    one row per (source, bin) with document and token counts.
+
+    The window partitions by source shard, so packing parallelizes across
+    shards with one shuffle on (source) and no global sort. At 100 TB a
+    source shard is still bounded (re-shard upstream if a single source
+    dominates — the same skew answer as the politeness salt)."""
+    n_tok = word_token_count(F.col(text_col))
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    cum = F.sum("n_tok").over(w)
+    packed = df.select(
+        F.col(source_col), F.col(id_col), n_tok.alias("n_tok")
+    ).select(
+        source_col,
+        id_col,
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / seq_len).cast("long").alias("bin_id"),
+    )
+    return (
+        packed.groupBy(source_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+def source_mix_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling weight per source:
+    ``w_s = tokens_s^alpha / Σ_t tokens_t^alpha`` (alpha<1 upsamples small
+    sources — the multilingual-training mixing rule). Returns
+    ``(source, n_docs, n_tokens, weight)``, weight rounded to 6 dp.
+
+    Two-phase aggregate down to one row per source, then a single-partition
+    window for the normalizing constant — fine at any scale because the
+    source-level table is tiny."""
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(word_token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    # alpha=0.5 → sqrt, which IEEE 754 requires to be correctly rounded in
+    # every engine; Math.pow(x, 0.5) carries no such guarantee, so the
+    # oracle comparison pins the sqrt path
+    if alpha == 0.5:
+        powed = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        powed = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    total = F.sum(powed).over(Window.partitionBy())
+    return per_src.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(powed / total, 6).alias("weight"),
+    )

@@ -216,3 +216,166 @@ class TestMultimodal:
         assert all(m % 3 == 2 for m in vids)  # only kind == video
         for r in frames:
             assert r["frame_bytes"] is not None
+
+
+class TestPIIScrub:
+    """Pin the PII patterns on hand-written strings, both through Spark's
+    Java regex and through Python re (the patterns are restricted to
+    syntax with identical semantics across Java/RE2/Python engines)."""
+
+    CASES = [
+        (
+            "mail me at jane.doe+spam@sub.example.co.uk thanks",
+            "mail me at <EMAIL> thanks",
+        ),
+        (
+            "call +1 (555) 010-9999 or 555.010.8888 today",
+            "call <PHONE> or <PHONE> today",
+        ),
+        # email local-part digits must not survive into the phone pass
+        ("x 1234567@example.com y", "x <EMAIL> y"),
+        # too-short digit runs are not phones
+        ("version 1.2.3 and port 8080", "version 1.2.3 and port 8080"),
+        ("no pii here at all", "no pii here at all"),
+    ]
+
+    def test_python_re_semantics(self):
+        import re
+
+        for raw, want in self.CASES:
+            got = re.sub(
+                T.PII_PHONE_PATTERN,
+                "<PHONE>",
+                re.sub(T.PII_EMAIL_PATTERN, "<EMAIL>", raw),
+            )
+            assert got == want, raw
+
+    def test_spark_matches_python(self, spark):
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)], ["i", "raw"]
+        )
+        out = {
+            r["i"]: r["clean"]
+            for r in df.select(
+                "i", T.scrub_pii(F.col("raw")).alias("clean")
+            ).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert out[i] == want
+
+
+class TestCorpusPrep:
+    """chunk dedup / decontamination / hash split / packing / mixing
+    (operators/corpus_prep.py) on hand-built corpora with known answers."""
+
+    def test_chunk_dedup_removes_shared_chunks_from_all_docs(self, spark):
+        from go_crawler_spark.operators.corpus_prep import chunk_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(12))  # one exact chunk
+        uniq1 = " ".join(f"x{i}" for i in range(12))
+        uniq2 = " ".join(f"y{i}" for i in range(12))
+        df = spark.createDataFrame(
+            [
+                (1, boiler + " " + uniq1),
+                (2, boiler + " " + uniq2),
+                (3, boiler),  # every chunk duplicated -> survives empty
+                (4, uniq1[:-1] + "zz"),  # near-miss chunk is NOT removed
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in chunk_dedup(df, "text", "doc_id").collect()
+        }
+        assert out[1]["clean_text"] == uniq1 and out[1]["n_removed"] == 1
+        assert out[2]["clean_text"] == uniq2 and out[2]["n_removed"] == 1
+        assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+        assert out[4]["n_removed"] == 0 and out[4]["n_chunks"] == 1
+        assert len(out) == 4  # row-preserving
+
+    def test_chunk_dedup_within_doc_repeat_not_corpus_dup(self, spark):
+        from go_crawler_spark.operators.corpus_prep import chunk_dedup
+
+        c = " ".join(f"w{i}" for i in range(12))
+        df = spark.createDataFrame(
+            [(1, c + " " + c)], ["doc_id", "text"]
+        )  # same chunk twice in ONE doc: df==1, nothing removed
+        row = chunk_dedup(df, "text", "doc_id").collect()[0]
+        assert row["n_removed"] == 0 and row["n_chunks"] == 2
+
+    def test_decontaminate_drops_overlapping_docs(self, spark):
+        from go_crawler_spark.operators.corpus_prep import decontaminate
+
+        bench = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon zeta",)], ["text"]
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "prefix alpha beta gamma suffix words"),  # shares 3-gram
+                (2, "totally different words here none shared"),
+                (3, "gamma beta alpha reversed order no match"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in decontaminate(df, bench, ngram=3).collect()
+        )
+        assert kept == [2, 3]
+
+    def test_hash_split_deterministic_and_exhaustive(self, spark):
+        from go_crawler_spark.operators.corpus_prep import hash_split
+
+        df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+        rows = hash_split(df).collect()
+        splits = {r["doc_id"]: r["split"] for r in rows}
+        assert set(splits.values()) <= {"train", "val", "test"}
+        assert all(v is not None for v in splits.values())
+        # python-side replica: stable, engine-independent membership
+        import hashlib
+
+        for i, s in splits.items():
+            h = hashlib.md5(str(i).encode()).hexdigest()[0]
+            want = "train" if h < "c" else ("val" if h < "e" else "test")
+            assert s == want
+        # ~12/2/2 sixteenths
+        n_train = sum(1 for v in splits.values() if v == "train")
+        assert n_train > 100
+
+    def test_pack_sequences_exact_bins(self, spark):
+        from go_crawler_spark.operators.corpus_prep import pack_sequences
+
+        # source a: token counts 100, 100, 100 with L=256 ->
+        # starts 0,100,200 -> bins 0,0,0; doc4 starts 300 -> bin 1
+        docs = [
+            (1, "a", " ".join(["w"] * 100)),
+            (2, "a", " ".join(["w"] * 100)),
+            (3, "a", " ".join(["w"] * 100)),
+            (4, "a", " ".join(["w"] * 50)),
+            (5, "b", " ".join(["w"] * 10)),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+        out = {
+            (r["source"], r["bin_id"]): (r["n_docs"], r["n_tokens"])
+            for r in pack_sequences(df, seq_len=256).collect()
+        }
+        assert out[("a", 0)] == (3, 300)
+        assert out[("a", 1)] == (1, 50)
+        assert out[("b", 0)] == (1, 10)
+
+    def test_source_mix_weights_sum_to_one(self, spark):
+        from go_crawler_spark.operators.corpus_prep import source_mix_weights
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}", " ".join(["w"] * (10 * (i % 3 + 1))))
+             for i in range(30)],
+            ["doc_id", "source", "text"],
+        )
+        rows = source_mix_weights(df, alpha=0.5).collect()
+        assert len(rows) == 3
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-5
+        # alpha < 1 upsamples the smallest source relative to proportional
+        by_src = {r["source"]: r for r in rows}
+        tok_total = sum(r["n_tokens"] for r in rows)
+        small = min(rows, key=lambda r: r["n_tokens"])
+        assert small["weight"] > small["n_tokens"] / tok_total

@@ -120,6 +120,30 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "text#"),
     )
 
+    # 2d. CCNet chunk dedup → censuses 8-byte fingerprints; the document
+    # bytes are re-cut map-side against a broadcast removed-index table,
+    # so text never enters an exchange
+    from go_crawler_spark.operators.corpus_prep import chunk_dedup
+
+    audit_custom(
+        "chunk_dedup (dup-chunk census on hashes; text never shuffles)",
+        chunk_dedup(docs, "text", "doc_id"),
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
+    # 2e. decontamination → benchmark gram set broadcast both ways; the
+    # corpus side is never shuffled (no SortMerge/ShuffledHash join)
+    from go_crawler_spark.operators.corpus_prep import decontaminate
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    audit(
+        "decontaminate (broadcast gram semi-join + broadcast anti-join)",
+        decontaminate(docs, bench, ngram=5),
+        {"BroadcastHashJoin": True, "SortMergeJoin": False,
+         "ShuffledHashJoin": False},
+    )
+
     # 3. seen anti-join → no distinct/aggregate on the seen build side
     from go_crawler_spark.operators.dedup import anti_join_seen
 
