@@ -342,6 +342,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "weight",
         )
 
+    def priority_frontier_topk(spark, sf):
+        # priority-ordered fetch-queue selection (north-star "depth/
+        # priority-ordered fetch queue"): global top-100 of a synthetic
+        # frontier by (priority, id) without a single-task ordered merge
+        from go_crawler_spark.operators.sequence import priority_schedule
+
+        docs = _t(spark, sf, "documents")
+        frontier = docs.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            (F.col("n_chars") % 7).alias("priority"),
+            F.col("doc_id").alias("tie"),
+        )
+        return priority_schedule(frontier, ["priority", "tie"], k=100).select(
+            "url", "priority", "seq"
+        )
+
     def fingerprints(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
@@ -801,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_assign": hash_split_assign,
         "pack_sequences_bins": pack_sequences_bins,
         "source_mix": source_mix,
+        "priority_frontier_topk": priority_frontier_topk,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -1117,6 +1134,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.lang, d.source
             FROM documents d ANTI JOIN bad USING (doc_id)
+        """,
+        "priority_frontier_topk": """
+            SELECT url, priority, seq FROM (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                     n_chars % 7 AS priority,
+                     row_number() OVER (ORDER BY n_chars % 7, doc_id) - 1
+                       AS seq
+              FROM documents)
+            WHERE seq < 100
         """,
         "hash_split_assign": """
             SELECT doc_id,

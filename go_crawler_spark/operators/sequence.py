@@ -306,3 +306,42 @@ def assign_seq_admit_budget(
             yield pdf
 
     return parted.mapInPandas(verdict, schema)
+
+
+def priority_schedule(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Priority-ordered fetch-queue selection [EXTENSION]: take the global
+    top-``k`` rows of a frontier in ``order_cols`` order (e.g. ``(depth,
+    hash)`` for breadth-biased best-first, or an explicit priority column)
+    and assign each a contiguous schedule position ``seq`` = 0..k-1.
+
+    The reference crawler's queue is strictly FIFO (queue.go:88-114); a
+    priority frontier is the standard generalization every production
+    crawler layers on top, and the north-star design names a
+    "depth/priority-ordered fetch queue". Semantically equal to
+    ``ORDER BY order_cols LIMIT k`` + row_number, but the plan is the
+    range-partitioned two-pass of :func:`assign_seq_admit_budget` — a
+    ``TakeOrderedAndProject`` would merge |partitions|·k rows on ONE task,
+    which at a 10^9-row frontier with k in the millions is a driver-size
+    single point; here the cutoff is decided from per-partition counts and
+    every partition emits its own slice in parallel.
+
+    ``order_cols`` must be a strict total order (same precondition as the
+    budget scheduler — append a unique tiebreaker like the url hash).
+    Rows below the cutoff are dropped (they stay in the frontier for later
+    rounds; unlike the page budget, "refused by priority" does not mean
+    "seen").
+    """
+    out = assign_seq_admit_budget(
+        df.withColumn("_pk", F.lit("page")),
+        order_cols,
+        page_budget=k,
+        seq_start=0,
+        kind_col="_pk",
+        num_partitions=num_partitions,
+    )
+    return out.filter(F.col("admitted")).drop("_pk", "admitted")

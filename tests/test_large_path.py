@@ -147,3 +147,32 @@ def test_seeds_enqueue_df_dedup_and_budget(spark):
     assert seqs == list(range(120))
     by_url = {r["url"]: r["seq"] for r in admitted}
     assert [by_url[u] for u in order[:120]] == list(range(120))
+
+
+def test_priority_schedule_equals_naive_topk(spark):
+    """priority_schedule == ORDER BY + LIMIT + row_number on a skewed
+    frontier, without a single-task ordered merge."""
+    from pyspark.sql import functions as F
+
+    from go_crawler_spark.operators.sequence import (
+        priority_schedule,
+        release_pending_caches,
+    )
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        # heavy ties: only 5 distinct priorities
+        (F.col("id") % 5).alias("priority"),
+        F.col("id").alias("tie"),
+    )
+    got = {
+        r["url"]: (r["priority"], r["seq"])
+        for r in priority_schedule(df, ["priority", "tie"], k=137).collect()
+    }
+    release_pending_caches()
+    want_rows = (
+        df.orderBy("priority", "tie").limit(137).collect()
+    )
+    assert len(got) == 137
+    for i, r in enumerate(want_rows):
+        assert got[r["url"]] == (r["priority"], i)
