@@ -358,6 +358,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "priority", "seq"
         )
 
+    def robots_rules_parse(spark, sf):
+        # RFC 9309 robots.txt parse: groups (multi-agent headers),
+        # comments, unknown directives, empty values -> rules table.
+        # Fixture oracle: independent parser in tools/gen_fixtures.py.
+        from go_crawler_spark.functions.robots import (
+            SYNTHETIC_ROBOTS_CORPUS,
+            parse_robots_rules,
+        )
+
+        corpus = spark.createDataFrame(SYNTHETIC_ROBOTS_CORPUS, ["host", "body"])
+        return parse_robots_rules(corpus)
+
+    def robots_rfc_verdict(spark, sf):
+        # RFC 9309 longest-match verdicts (wildcards, $-anchors,
+        # allow-wins-ties, default-allow) over a synthetic frontier
+        from go_crawler_spark.functions.robots import (
+            SYNTHETIC_VERDICT_RULES,
+            pattern_to_regex,
+            robots_verdict,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id").cast("string")
+        path = (
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/doc"), d))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/pub/doc"), d))
+            .when(
+                F.col("doc_id") % 5 == 2,
+                F.concat(F.lit("/files/doc"), d, F.lit(".zip")),
+            )
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.concat(F.lit("/page"), d, F.lit(".htm")),
+            )
+            .otherwise(F.concat(F.lit("/folder/doc"), d))
+        )
+        host = F.concat(
+            F.lit("h"), (F.col("doc_id") % 3).cast("string"), F.lit(".example.com")
+        )
+        frontier = docs.select(
+            F.concat(F.lit("https://"), host, path).alias("url"),
+            host.alias("host"),
+        )
+        rules = spark.createDataFrame(
+            [
+                (h, "*", a, p, len(p), pattern_to_regex(p))
+                for h, a, p in SYNTHETIC_VERDICT_RULES
+            ],
+            "host string, agent string, allow boolean, pattern string, "
+            "pattern_len int, regex string",
+        )
+        return robots_verdict(frontier, rules).select("url", "robots_allowed")
+
     def fingerprints(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
@@ -818,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_bins": pack_sequences_bins,
         "source_mix": source_mix,
         "priority_frontier_topk": priority_frontier_topk,
+        "robots_rules_parse": robots_rules_parse,
+        "robots_rfc_verdict": robots_rfc_verdict,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -873,6 +928,16 @@ def oracle_sql() -> dict[str, str]:
         LANG_MARKERS,
         PII_EMAIL_PATTERN as _PII_EMAIL,
         PII_PHONE_PATTERN as _PII_PHONE,
+    )
+    from go_crawler_spark.functions.robots import (
+        SYNTHETIC_VERDICT_RULES,
+        pattern_to_regex,
+    )
+
+    robots_rules_values = ", ".join(
+        f"('{h}', {str(a).upper()}, '{pat}', {len(pat)}, "
+        f"'{pattern_to_regex(pat)}')"
+        for h, a, pat in SYNTHETIC_VERDICT_RULES
     )
 
     en = lang_hits(LANG_MARKERS["en"])
@@ -960,6 +1025,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    row_number() OVER (ORDER BY doc_id) - 1 AS seq
             FROM documents
+        """,
+        "robots_rules_parse": f"""
+            SELECT host, agent, allow, pattern, pattern_len, regex
+            FROM '{fix}/robots_rules.parquet'
+        """,
+        "robots_rfc_verdict": f"""
+            WITH urls AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com'
+                       AS host,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/pub/doc'
+                                   || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/files/doc' || CAST(doc_id AS VARCHAR)
+                                   || '.zip'
+                       WHEN 3 THEN '/page' || CAST(doc_id AS VARCHAR)
+                                   || '.htm'
+                       ELSE '/folder/doc' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents
+            ), rules(host, allow, pattern, pattern_len, rx) AS (
+              VALUES {robots_rules_values}
+            ), m AS (
+              SELECT u.doc_id, r.allow, r.pattern_len
+              FROM urls u JOIN rules r ON u.host = r.host
+              WHERE regexp_matches(u.path, r.rx)
+            ), best AS (
+              SELECT doc_id, allow,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pattern_len DESC,
+                                                 allow DESC) AS rn
+              FROM m
+            )
+            SELECT 'https://' || u.host || u.path AS url,
+                   coalesce(b.allow, TRUE) AS robots_allowed
+            FROM urls u
+            LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
+            USING (doc_id)
         """,
         "robots_gate": """
             SELECT doc_id, source AS host FROM documents

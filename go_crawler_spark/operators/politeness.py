@@ -56,12 +56,29 @@ def assign_fetch_slots(
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame, host_col: str = "host") -> tuple[DataFrame, DataFrame]:
-    """Split frontier into (allowed, blocked) by disallow-prefix rules.
+    """Split frontier into (allowed, blocked) by robots rules.
 
-    ``robots(host, disallow_prefix)`` is a small dimension table →
-    broadcast join; path prefix matched against the URL path after the
-    host. A URL is blocked if ANY rule of its host matches.
+    Two rule-table shapes are accepted:
+
+    - ``(host, disallow_prefix)`` — the simple any-prefix-blocks model
+      (historic robots.txt subset; simulator-verified in the crawl loop);
+    - an RFC 9309 rules table ``(host, agent, allow, pattern, pattern_len,
+      regex)`` as produced by
+      :func:`go_crawler_spark.functions.robots.parse_robots_rules` —
+      full longest-match semantics with wildcards/anchors and
+      allow-wins-ties, evaluated by
+      :func:`go_crawler_spark.functions.robots.robots_verdict`.
+
+    Either way the rules side is a small dimension table → broadcast
+    join; the frontier is never shuffled.
     """
+    if "pattern" in robots.columns:
+        from go_crawler_spark.functions.robots import robots_verdict
+
+        verdict = robots_verdict(frontier, robots, host_col=host_col)
+        allowed = verdict.filter(F.col("robots_allowed")).drop("robots_allowed")
+        blocked = verdict.filter(~F.col("robots_allowed")).drop("robots_allowed")
+        return allowed, blocked
     rules = F.broadcast(
         robots.select(F.col("host").alias(host_col), "disallow_prefix").distinct()
     )

@@ -52,16 +52,51 @@ class SimResult:
     metrics: List[dict] = field(default_factory=list)      # one dict per round
 
 
+def _rfc_match(path: str, pattern: str) -> bool:
+    """RFC 9309 pattern match, implemented independently of the engine's
+    regex translation (segment scanning): ``*`` = any substring, trailing
+    ``$`` = end anchor, otherwise prefix semantics."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    segs = core.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    if len(segs) == 1:
+        return path == core if anchored else True
+    for seg in segs[1:-1]:
+        if seg:
+            i = path.find(seg, pos)
+            if i < 0:
+                return False
+            pos = i + len(seg)
+    last = segs[-1]
+    if anchored:
+        if not last:
+            return True
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return (path.find(last, pos) >= 0) if last else True
+
+
 def simulate(
     corpus: Dict[str, bytes],
     seeds: List[str],
     cfg: CrawlConfig,
-    robots: Optional[List[Tuple[str, str]]] = None,  # (host, disallow_prefix)
+    robots: "Optional[List[tuple]]" = None,
+    # robots entries: (host, disallow_prefix) 2-tuples for the simple
+    # prefix model, or (host, allow, pattern) 3-tuples for RFC 9309
+    # longest-match (allow wins pattern-length ties; no match = allowed)
 ) -> SimResult:
     res = SimResult()
     rules: Dict[str, List[str]] = {}
-    for h, p in robots or []:
-        rules.setdefault(h, []).append(p)
+    rfc_rules: Dict[str, List[Tuple[bool, str]]] = {}
+    for entry in robots or []:
+        if len(entry) == 2:
+            h, p = entry
+            rules.setdefault(h, []).append(p)
+        else:
+            h, allow, pat = entry
+            rfc_rules.setdefault(h, []).append((bool(allow), pat))
 
     seq_counter = 0
     pages_enqueued = 0
@@ -96,7 +131,16 @@ def simulate(
         allowed: List[SimItem] = []
         for it in frontier:
             path = urlsplit(it.url).path
-            if any(path.startswith(p) for p in rules.get(it.host, [])):
+            blocked = any(path.startswith(p) for p in rules.get(it.host, []))
+            if not blocked and it.host in rfc_rules:
+                hits = [
+                    (len(pat), allow)
+                    for allow, pat in rfc_rules[it.host]
+                    # "/" default matches robots_verdict's null-path coalesce
+                    if _rfc_match(path or "/", pat)
+                ]
+                blocked = bool(hits) and not max(hits)[1]
+            if blocked:
                 it.status, it.fetch_round = "skipped_robots", rnd
             else:
                 allowed.append(it)

@@ -34,9 +34,21 @@ def pages_df(spark):
 def _engine_tables(spark, pages_df, cfg, robots_rules=None, seeds=None):
     robots_df = None
     if robots_rules:
-        robots_df = spark.createDataFrame(
-            robots_rules, "host string, disallow_prefix string"
-        )
+        if len(robots_rules[0]) == 3:  # RFC 9309 (host, allow, pattern)
+            from go_crawler_spark.functions.robots import pattern_to_regex
+
+            robots_df = spark.createDataFrame(
+                [
+                    (h, "*", a, pat, len(pat), pattern_to_regex(pat))
+                    for h, a, pat in robots_rules
+                ],
+                "host string, agent string, allow boolean, pattern string, "
+                "pattern_len int, regex string",
+            )
+        else:
+            robots_df = spark.createDataFrame(
+                robots_rules, "host string, disallow_prefix string"
+            )
     res = run_crawl(spark, pages_df, seeds or default_seeds(), cfg, robots=robots_df)
     sched = {
         (r["url"], r["kind"], r["depth"], r["seq"])
@@ -105,6 +117,22 @@ def test_politeness_slots(spark, pages_df, corpus):
 def test_robots(spark, pages_df, corpus):
     cfg = CrawlConfig(max_count=40)
     rules = [("big.example.com", "/img"), ("alpha.example.org", "/common")]
+    _assert_match(spark, pages_df, corpus, cfg, robots=rules)
+
+
+def test_robots_rfc(spark, pages_df, corpus):
+    """RFC 9309 rules table through the crawl loop: wildcard + $-anchor
+    blocks, a longer Allow overriding a Disallow, a whole-host block, and
+    an untouched host — engine must match the simulator's independent
+    segment-scanning matcher exactly."""
+    cfg = CrawlConfig(max_count=60)
+    rules = [
+        ("big.example.com", False, "/p*1.html$"),  # p1, p11, p21, ...
+        ("big.example.com", True, "/p11.html"),  # longer allow wins for p11
+        ("big.example.com", False, "/img/"),
+        ("big.example.com", True, "/img/p2"),  # re-allows p2*.jpg
+        ("alpha.example.org", False, "/"),  # whole-host block
+    ]
     _assert_match(spark, pages_df, corpus, cfg, robots=rules)
 
 

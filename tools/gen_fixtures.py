@@ -470,6 +470,71 @@ def gen_streaming_host_metrics() -> None:
     )
 
 
+def gen_robots_rules() -> None:
+    """Expected RFC 9309 parse of the synthetic robots corpus
+    (functions/robots.py::SYNTHETIC_ROBOTS_CORPUS — shared INPUT; the
+    parse below is an independent implementation of RFC 9309 §2.2:
+    regex-driven line classification + index-based group spans, vs the
+    engine's sequential state machine)."""
+    import re as _re
+
+    from go_crawler_spark.functions.robots import SYNTHETIC_ROBOTS_CORPUS
+
+    line_re = _re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
+
+    def indep_regex(pat: str) -> str:
+        end = pat.endswith("$")
+        core = pat[:-1] if end else pat
+        out = []
+        for ch in core:
+            out.append(".*" if ch == "*" else _re.escape(ch))
+        return "^" + "".join(out) + ("$" if end else "")
+
+    rows = []
+    for host, body in SYNTHETIC_ROBOTS_CORPUS:
+        # classify every line first
+        parsed = []  # (kind, value)
+        for ln in body.split("\n"):
+            ln = ln.split("#")[0]
+            m = line_re.match(ln)
+            if not m:
+                continue
+            key, val = m.group(1).lower(), m.group(2)
+            if key == "user-agent":
+                parsed.append(("ua", val.lower()))
+            elif key in ("allow", "disallow") and val:
+                parsed.append((key, val))
+        # group spans: a UA line opens a header unless the previous
+        # line was also a UA line (then it extends it)
+        i = 0
+        while i < len(parsed):
+            if parsed[i][0] != "ua":
+                i += 1  # rule outside any group: undefined, skip
+                continue
+            agents = []
+            while i < len(parsed) and parsed[i][0] == "ua":
+                agents.append(parsed[i][1])
+                i += 1
+            while i < len(parsed) and parsed[i][0] != "ua":
+                kind, pat = parsed[i]
+                for a in agents:
+                    rows.append(
+                        dict(host=host, agent=a, allow=(kind == "allow"),
+                             pattern=pat, pattern_len=len(pat),
+                             regex=indep_regex(pat))
+                    )
+                i += 1
+    write(
+        "robots_rules",
+        rows,
+        pa.schema(
+            [("host", pa.string()), ("agent", pa.string()),
+             ("allow", pa.bool_()), ("pattern", pa.string()),
+             ("pattern_len", pa.int32()), ("regex", pa.string())]
+        ),
+    )
+
+
 def main() -> None:
     os.makedirs(FIXTURES, exist_ok=True)
     gen_crawl_flagship()
@@ -482,6 +547,7 @@ def main() -> None:
     gen_multimodal()
     gen_multimodal_frames()
     gen_streaming_host_metrics()
+    gen_robots_rules()
 
 
 if __name__ == "__main__":
