@@ -411,6 +411,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_verdict(frontier, rules).select("url", "robots_allowed")
 
+    def warc_roundtrip(spark, sf):
+        # WARC container round-trip: pages -> response records -> packed
+        # multi-record segments -> content-length-aware scan back. The
+        # oracle is the identity on the source rows, so any framing,
+        # ordering, or byte-slicing bug breaks the hash.
+        from go_crawler_spark.sources.warc import (
+            pack_segments,
+            parse_warc_segments,
+            to_warc_records,
+        )
+
+        docs = _t(spark, sf, "documents")
+        pages = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/doc"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.encode(F.col("text"), "UTF-8").alias("html"),
+        )
+        segs = pack_segments(
+            to_warc_records(pages), F.pmod(F.xxhash64("url"), F.lit(8))
+        )
+        return parse_warc_segments(segs).select(
+            "url",
+            "warc_date",
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+
+    def sitemap_seed_urls(spark, sf):
+        # sitemap XML seed source: per-source <urlset> docs built
+        # deterministically, parsed back with JVM xpath (S1 extension)
+        from go_crawler_spark.sources.sitemap import sitemap_urls
+
+        docs = _t(spark, sf, "documents")
+        entry = F.concat(
+            F.lit("<url><loc>https://"), F.col("source"),
+            F.lit(".example.com/doc"), F.col("doc_id").cast("string"),
+            F.lit("</loc><lastmod>2024-"),
+            F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+            F.lit("-01</lastmod></url>"),
+        )
+        sitemaps = (
+            docs.select("source", F.col("doc_id"), entry.alias("e"))
+            .groupBy("source")
+            .agg(
+                F.concat(
+                    F.lit("<urlset>"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("doc_id", "e"))
+                            ),
+                            lambda s: s["e"],
+                        ),
+                    ),
+                    F.lit("</urlset>"),
+                ).alias("xml")
+            )
+        )
+        return sitemap_urls(sitemaps).select("source", "loc", "lastmod")
+
     def fingerprints(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
@@ -873,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_frontier_topk": priority_frontier_topk,
         "robots_rules_parse": robots_rules_parse,
         "robots_rfc_verdict": robots_rfc_verdict,
+        "warc_roundtrip": warc_roundtrip,
+        "sitemap_seed_urls": sitemap_seed_urls,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -1024,6 +1089,21 @@ def oracle_sql() -> dict[str, str]:
         "global_seq_assignment": """
             SELECT doc_id,
                    row_number() OVER (ORDER BY doc_id) - 1 AS seq
+            FROM documents
+        """,
+        "warc_roundtrip": """
+            SELECT 'https://' || source || '.example.com/doc'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   '2024-01-01T00:00:00Z' AS warc_date,
+                   text
+            FROM documents
+        """,
+        "sitemap_seed_urls": """
+            SELECT source,
+                   'https://' || source || '.example.com/doc'
+                     || CAST(doc_id AS VARCHAR) AS loc,
+                   '2024-' || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+                     || '-01' AS lastmod
             FROM documents
         """,
         "robots_rules_parse": f"""

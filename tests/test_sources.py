@@ -1,0 +1,85 @@
+"""WARC and sitemap source formats (go_crawler_spark/sources/)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from go_crawler_spark.sources.sitemap import sitemap_index_refs, sitemap_urls
+from go_crawler_spark.sources.warc import (
+    pack_segments,
+    parse_warc_bytes,
+    parse_warc_segments,
+    to_warc_records,
+)
+
+
+class TestWarc:
+    def test_parse_bytes_tricky_payloads(self):
+        # payload containing the header delimiter + empty + non-utf8
+        payloads = [b"a\r\n\r\nb", b"", bytes([0xFF, 0x00, 0x80])]
+        blob = b""
+        for i, p in enumerate(payloads):
+            blob += (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: u{i}\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(p)}\r\n\r\n"
+            ).encode() + p + b"\r\n\r\n"
+        recs = parse_warc_bytes(blob)
+        assert [(u, p) for u, _, p in recs] == [
+            (f"u{i}", p) for i, p in enumerate(payloads)
+        ]
+
+    def test_parse_truncated_tail_stops_cleanly(self):
+        blob = b"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 3\r\n\r\nabc\r\n\r\nWARC/1.0\r\ngarbage-no-delimiter"
+        recs = parse_warc_bytes(blob)
+        assert len(recs) == 1 and recs[0][2] == b"abc"
+
+    def test_spark_roundtrip(self, spark):
+        ts = datetime.datetime(2024, 3, 5, 12, 30, 0)
+        rows = [
+            (f"https://h/{i}", ts, f"content {i} \r\n\r\n body".encode())
+            for i in range(50)
+        ]
+        pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+        records = to_warc_records(pages)
+        segs = pack_segments(records, F.pmod(F.xxhash64("url"), F.lit(4)))
+        assert segs.count() <= 4
+        back = parse_warc_segments(segs)
+        got = {r["url"]: (r["warc_date"], bytes(r["payload"])) for r in back.collect()}
+        assert len(got) == 50
+        for url, _, payload in rows:
+            assert got[url][1] == payload
+            assert got[url][0] == "2024-03-05T12:30:00Z"
+
+
+class TestSitemap:
+    XML = (
+        "<urlset>"
+        "<url><loc>https://a/1</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>https://a/2</loc><lastmod>2024-02-01</lastmod></url>"
+        "</urlset>"
+    )
+    XML_NO_MOD = "<urlset><url><loc>https://b/1</loc></url><url><loc>https://b/2</loc><lastmod>2024-01-01</lastmod></url></urlset>"
+
+    def test_urlset(self, spark):
+        df = spark.createDataFrame([("s1", self.XML)], ["site", "xml"])
+        rows = sitemap_urls(df).orderBy("loc").collect()
+        assert [(r["site"], r["loc"], r["lastmod"]) for r in rows] == [
+            ("s1", "https://a/1", "2024-01-01"),
+            ("s1", "https://a/2", "2024-02-01"),
+        ]
+
+    def test_partial_lastmod_degrades_to_null(self, spark):
+        df = spark.createDataFrame([("s2", self.XML_NO_MOD)], ["site", "xml"])
+        rows = sitemap_urls(df).orderBy("loc").collect()
+        assert [r["loc"] for r in rows] == ["https://b/1", "https://b/2"]
+        assert all(r["lastmod"] is None for r in rows)
+
+    def test_index(self, spark):
+        xml = "<sitemapindex><sitemap><loc>https://x/s1.xml</loc></sitemap><sitemap><loc>https://x/s2.xml</loc></sitemap></sitemapindex>"
+        df = spark.createDataFrame([("root", xml)], ["site", "xml"])
+        assert sorted(
+            r["loc"] for r in sitemap_index_refs(df).collect()
+        ) == ["https://x/s1.xml", "https://x/s2.xml"]
