@@ -633,6 +633,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(found / F.count(F.lit(1)), 6).alias("recall"),
         )
 
+    def events_asof_join(spark, sf):
+        # as-of join: for every click, the most recent view at-or-before
+        # it per user — expressed as a forward-fill window (one shuffle on
+        # user_id, no pairwise range join; ties broken by event_id so the
+        # order is total). At 100 TB this scales as a plain windowed pass
+        # per user partition; skewed users would salt the same way the
+        # politeness window does.
+        ev = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        is_view = F.col("event_type") == "view"
+        filled = ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+            .over(w)
+            .alias("view_event_id"),
+            F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+            .over(w)
+            .alias("view_ts"),
+        )
+        return filled.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "view_event_id", "view_ts"
+        )
+
     def events_sessionization(spark, sf):
         # window-function breadth: 30-min-gap sessionization per user
         # (lag → gap flag → cumulative session index → per-session rollup)
@@ -938,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc_verdict": robots_rfc_verdict,
         "warc_roundtrip": warc_roundtrip,
         "sitemap_seed_urls": sitemap_seed_urls,
+        "events_asof_join": events_asof_join,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -1090,6 +1121,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    row_number() OVER (ORDER BY doc_id) - 1 AS seq
             FROM documents
+        """,
+        "events_asof_join": """
+            WITH filled AS (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'view'
+                                     THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS view_event_id,
+                     last_value(CASE WHEN event_type = 'view'
+                                     THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS view_ts
+              FROM events)
+            SELECT event_id, user_id, ts, view_event_id, view_ts
+            FROM filled WHERE event_type = 'click'
         """,
         "warc_roundtrip": """
             SELECT 'https://' || source || '.example.com/doc'

@@ -54,7 +54,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    default=None, help="per-round state tables: parquet dirs "
                    "(default) or an Iceberg catalog (tableio.py)")
     p.add_argument("--robots", help="parquet/csv path with "
-                   "(host, disallow_prefix) rules")
+                   "(host, disallow_prefix) rules, an RFC 9309 rules "
+                   "table from parse_robots_rules, or a (host, body) "
+                   "table of raw robots.txt files (auto-parsed)")
     p.add_argument("--output", default="./crawl_out",
                    help="output dir (CRAWLER_OUTPUT_DIR)")
     p.add_argument("--resume", help="workdir of an interrupted crawl")
@@ -115,6 +117,10 @@ def main(argv=None) -> None:
             if args.robots.endswith(".parquet") or os.path.isdir(args.robots)
             else reader.option("header", True).csv(args.robots)
         )
+        if "body" in robots.columns:  # raw robots.txt corpus -> RFC rules
+            from go_crawler_spark.functions.robots import parse_robots_rules
+
+            robots = parse_robots_rules(robots)
 
     if args.resume:
         res = resume_crawl(spark, pages, cfg, args.resume,
