@@ -143,3 +143,33 @@ class TestVerdict:
             by_host.setdefault(r["host"], set()).add(r["agent"])
         assert by_host["bots.example.com"] == {"fetchbot"}
         assert by_host["h.example.com"] == {"*"}
+
+
+class TestMatcherDifferential:
+    """The engine's regex translation (pattern_to_regex -> Java/RE2) and
+    the simulator's independent segment scanner must agree on every
+    (path, pattern) pair — property-tested over the RFC alphabet."""
+
+    def test_differential_random(self):
+        import random
+        import re
+
+        from go_crawler_spark.simulator import _rfc_match
+
+        rng = random.Random(42)
+        alphabet = "ab/.*"
+        checked = 0
+        for _ in range(4000):
+            pattern = "/" + "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 8))
+            )
+            if rng.random() < 0.3:
+                pattern += "$"
+            path = "/" + "".join(
+                rng.choice("ab/.x") for _ in range(rng.randint(0, 10))
+            )
+            via_regex = re.search(pattern_to_regex(pattern), path) is not None
+            via_scan = _rfc_match(path, pattern)
+            assert via_regex == via_scan, (pattern, path)
+            checked += 1
+        assert checked == 4000
