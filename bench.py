@@ -185,6 +185,12 @@ def frontier_round_bench(
         use_bloom=True,
         bloom_bits=1 << 23,  # few-% FP at ~1M seen; anti-join confirms anyway
         shuffle_partitions=cpus,
+        # the seed table is a projection of the corpus's unique url key —
+        # assert that and skip the seed distinct (a full seed-table
+        # shuffle), as a production crawl seeding from a prior crawl's
+        # keyed export would (cfg.seeds_unique; equality pinned by
+        # tests/test_large_path.py::test_seeds_unique_flag_same_result)
+        seeds_unique=True,
     )
     res = run_crawl(
         spark, pages, seeds_df, cfg, max_rounds=1, workdir=workdir, timing=timing

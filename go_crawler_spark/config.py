@@ -74,6 +74,13 @@ class CrawlConfig:
     # broadcast into the corpus scan (~100s of MB of URLs); beyond it the
     # fetch join falls back to a shuffle-hash join on url — a billion-row
     # round cannot broadcast (operators/fetch.py)
+    seeds_unique: bool = False
+    # caller-asserted: the distributed seed table has no duplicate urls
+    # (e.g. a prior crawl's seen export, primary-keyed). Skips the seed
+    # distinct — a full shuffle of the seed table, the dominant avoidable
+    # cost of round 0 at 10^10-URL scale. Semantics are unchanged when the
+    # assertion holds; duplicate seeds under the flag would double-enqueue
+    # (same trade as Spark's own dropDuplicates-free joins on trusted keys)
 
     @staticmethod
     def from_env(**overrides) -> "CrawlConfig":

@@ -167,7 +167,10 @@ def seeds_enqueue_df(seeds_df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     order-aligned bucket key, so budget+seq assignment needs no range
     sampling (operators/sequence.py). Dedup + budget follow
     queue.go:88-114 like the list path."""
-    uniq = seeds_df.select("url").distinct().withColumn("_h", F.xxhash64("url"))
+    uniq = seeds_df.select("url")
+    if not cfg.seeds_unique:
+        uniq = uniq.distinct()
+    uniq = uniq.withColumn("_h", F.xxhash64("url"))
     out = assign_seq_admit_budget_bucketed(
         uniq.withColumn("kind", F.lit("page")).withColumn("depth", F.lit(0)),
         ["_h", "url"],

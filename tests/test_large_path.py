@@ -149,6 +149,27 @@ def test_seeds_enqueue_df_dedup_and_budget(spark):
     assert [by_url[u] for u in order[:120]] == list(range(120))
 
 
+def test_seeds_unique_flag_same_result(spark):
+    """cfg.seeds_unique=True (skip the seed distinct) must produce the
+    identical enqueue when the seed table really is unique."""
+    from go_crawler_spark.config import CrawlConfig
+    from go_crawler_spark.plans.crawl import seeds_enqueue_df
+
+    urls = [f"https://h{i % 5}.example.com/p{i}.html" for i in range(200)]
+    seeds = spark.createDataFrame([(u,) for u in urls], "url string")
+    base = {
+        (r["url"], r["seq"], r["admitted"])
+        for r in seeds_enqueue_df(seeds, CrawlConfig(max_count=120)).collect()
+    }
+    fast = {
+        (r["url"], r["seq"], r["admitted"])
+        for r in seeds_enqueue_df(
+            seeds, CrawlConfig(max_count=120, seeds_unique=True)
+        ).collect()
+    }
+    assert base == fast
+
+
 def test_priority_schedule_equals_naive_topk(spark):
     """priority_schedule == ORDER BY + LIMIT + row_number on a skewed
     frontier, without a single-task ordered merge."""
