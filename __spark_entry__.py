@@ -787,6 +787,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
         return connected_components(pairs)
 
+    def neardup_keep_best(spark, sf):
+        # the decision stage after clustering: keep the highest-quality
+        # doc per near-dup component (ties -> smallest id), singletons
+        # keep themselves. Quality is rounded to 6 dp BEFORE ranking so
+        # the ordering is bit-stable across engines. Scale shape: the
+        # component table carries (id, label) longs only; the ranking
+        # window partitions by component (bounded cluster sizes).
+        from go_crawler_spark.operators.dedup_corpus import (
+            connected_components,
+            minhash_near_dups,
+        )
+
+        docs = _t(spark, sf, "documents")
+        pairs = minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+        comps = connected_components(pairs)
+        q = docs.select(
+            "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("q")
+        )
+        joined = q.join(comps, q.doc_id == comps.node, "left").select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            "q",
+        )
+        w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .select(
+                "doc_id",
+                "component",
+                F.col("q").alias("quality"),
+                (F.col("rn") == 1).alias("kept"),
+            )
+        )
+
     def simhash_near_dup_pairs(spark, sf):
         docs = _t(spark, sf, "documents")
         return simhash_near_dups(docs, "text", "doc_id", max_hamming=3)
@@ -969,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": warc_roundtrip,
         "sitemap_seed_urls": sitemap_seed_urls,
         "events_asof_join": events_asof_join,
+        "neardup_keep_best": neardup_keep_best,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -1623,6 +1658,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, component
             FROM read_parquet('{fix}/neardup_components.parquet')
             WHERE sf = {sf_key}
+        """,
+        "neardup_keep_best": f"""
+            WITH q AS (
+              SELECT doc_id, round(
+                0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                            WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+              + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                       ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END)
+              + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                       ELSE {en} * 1.0 / ntok END), 6) AS q
+              FROM (
+                SELECT doc_id, text,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok
+                FROM documents)
+            ), comps AS (
+              SELECT node, component
+              FROM read_parquet('{fix}/neardup_components.parquet')
+              WHERE sf = {sf_key}
+            ), j AS (
+              SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+                     q.q
+              FROM q LEFT JOIN comps c ON q.doc_id = c.node
+            ), r AS (
+              SELECT doc_id, component, q,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY q DESC, doc_id ASC) AS rn
+              FROM j
+            )
+            SELECT doc_id, component, q AS quality, rn = 1 AS kept FROM r
         """,
         "embedding_near_dup_lsh": f"""
             WITH bk AS (

@@ -116,6 +116,83 @@ def parse_robots_body(body: str) -> List[Tuple[str, bool, str]]:
     return rules
 
 
+def parse_crawl_delays_body(body: str) -> List[Tuple[str, float]]:
+    """``(agent, delay_seconds)`` per group carrying a ``Crawl-delay``
+    directive (non-standard but near-universal; Googlebot ignores it,
+    most other crawlers honor it). Invalid/negative values are dropped."""
+    out: List[Tuple[str, float]] = []
+    group_agents: List[str] = []
+    in_header = False
+    for raw_line in body.split("\n"):
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_header:
+                group_agents = []
+                in_header = True
+            group_agents.append(value.lower())
+            continue
+        in_header = False
+        if key != "crawl-delay" or not group_agents:
+            continue
+        try:
+            delay = float(value)
+        except ValueError:
+            continue
+        if delay >= 0:
+            out.extend((a, delay) for a in group_agents)
+    return out
+
+
+def parse_crawl_delays(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``(host, body)`` robots corpus → ``(host, agent, delay_s)``."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, agents, delays = [], [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                for agent, delay in parse_crawl_delays_body(body or ""):
+                    hosts.append(host)
+                    agents.append(agent)
+                    delays.append(delay)
+            yield pd.DataFrame({"host": hosts, "agent": agents, "delay_s": delays})
+
+    return df.select(F.col(host_col).alias(host_col), F.col(body_col)).mapInPandas(
+        explode, "host string, agent string, delay_s double"
+    )
+
+
+def crawl_delay_slots(
+    delays: DataFrame, round_seconds: float, agent: str = "*", max_slots: int = 2**31 - 1
+) -> DataFrame:
+    """Convert per-host crawl delays into per-host politeness slot
+    overrides for the round-quantized scheduler: at one fetch per
+    ``delay_s``, a host grants ``floor(round_seconds / delay_s)`` fetch
+    slots per round (minimum 1 — a delay longer than the round still
+    progresses; politeness is quantized to rounds, the same contract as
+    ``assign_fetch_slots``). Agent selection: exact group, else ``*``."""
+    agent = agent.lower()
+    specific = delays.filter(F.col("agent") == agent)
+    fallback = delays.filter(F.col("agent") == "*").join(
+        specific.select("host").distinct(), "host", "left_anti"
+    )
+    chosen = specific.unionByName(fallback)
+    slots = F.when(
+        F.col("delay_s") <= 0, F.lit(max_slots)
+    ).otherwise(
+        F.greatest(F.floor(F.lit(float(round_seconds)) / F.col("delay_s")), F.lit(1))
+    )
+    return chosen.groupBy("host").agg(
+        F.min(slots).cast("int").alias("host_slots")  # strictest delay wins
+    )
+
+
 def parse_robots_rules(
     df: DataFrame, host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:

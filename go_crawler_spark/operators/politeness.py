@@ -31,26 +31,48 @@ def assign_fetch_slots(
     n_salts: int = 8,
     host_col: str = "host",
     order_col: str = "seq",
+    host_slots: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (fetch_now, deferred) under per-host slots.
 
-    ``slots_per_host <= 0`` disables politeness (everything fetches now).
+    ``slots_per_host <= 0`` disables the global cap; ``host_slots`` is an
+    optional per-host override table ``(host, host_slots)`` — e.g. derived
+    from robots.txt Crawl-delay via
+    :func:`go_crawler_spark.functions.robots.crawl_delay_slots` — joined
+    broadcast (a host-level table is tiny next to the frontier). A host's
+    limit is its override if present, else the global cap (unlimited when
+    the global cap is off).
+
     Deterministic: ``order_col`` is a total order, and the salt is a pure
     function of the URL (xxhash64 % n_salts), not a random number.
     """
-    if slots_per_host <= 0:
+    if slots_per_host <= 0 and host_slots is None:
         return frontier, frontier.limit(0)
+    default_limit = slots_per_host if slots_per_host > 0 else 2**31 - 1
 
-    salted = frontier.withColumn(
+    base = frontier
+    if host_slots is not None:
+        base = base.join(
+            F.broadcast(host_slots.select(host_col, "host_slots")),
+            on=host_col, how="left",
+        )
+        limit = F.coalesce(F.col("host_slots"), F.lit(default_limit))
+    else:
+        limit = F.lit(default_limit)
+
+    salted = base.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(n_salts))
     )
     w1 = Window.partitionBy(host_col, "_salt").orderBy(order_col)
     phase1 = salted.withColumn("_r1", F.row_number().over(w1))
-    survivors = phase1.filter(F.col("_r1") <= slots_per_host)
+    survivors = phase1.filter(F.col("_r1") <= limit)
 
     w2 = Window.partitionBy(host_col).orderBy(order_col)
     phase2 = survivors.withColumn("_r2", F.row_number().over(w2))
-    fetch_now = phase2.filter(F.col("_r2") <= slots_per_host).drop("_salt", "_r1", "_r2")
+    drop_cols = ["_salt", "_r1", "_r2"] + (
+        ["host_slots"] if host_slots is not None else []
+    )
+    fetch_now = phase2.filter(F.col("_r2") <= limit).drop(*drop_cols)
     deferred = frontier.join(fetch_now.select("url"), on="url", how="left_anti")
     return fetch_now, deferred
 

@@ -356,6 +356,7 @@ def resume_crawl(
     robots: Optional[DataFrame] = None,
     max_rounds: int = 1000,
     timing: Optional[dict] = None,
+    host_slots: Optional[DataFrame] = None,
 ) -> CrawlResult:
     """Resume an interrupted crawl from its workdir checkpoint (C6
     [EXTENSION] — the north rule requires any round to be resumable).
@@ -375,7 +376,7 @@ def resume_crawl(
         raise FileNotFoundError(f"no crawl manifest in {workdir}")
     return run_crawl(
         spark, pages, [], cfg, robots=robots, workdir=workdir,
-        max_rounds=max_rounds, timing=timing,
+        max_rounds=max_rounds, timing=timing, host_slots=host_slots,
         _resume_from=man["round"] + 1,
     )
 
@@ -389,6 +390,7 @@ def run_crawl(
     workdir: Optional[str] = None,
     max_rounds: int = 1000,
     timing: Optional[dict] = None,
+    host_slots: Optional[DataFrame] = None,
     _resume_from: Optional[int] = None,
 ) -> CrawlResult:
     """Drive the BFS loop. ``pages`` is the (url, warc_ts, html, text, lang)
@@ -411,7 +413,8 @@ def run_crawl(
     io = make_tableio(spark, workdir, cfg.table_backend,
                       cfg.iceberg_catalog, cfg.iceberg_namespace)
 
-    politeness_mode = cfg.host_slots_per_round > 0 or robots is not None
+    politeness_mode = (cfg.host_slots_per_round > 0 or robots is not None
+                       or host_slots is not None)
 
     if _resume_from is None:
         t = time.perf_counter()
@@ -493,7 +496,8 @@ def run_crawl(
 
         # politeness split [EXTENSION]
         fetch_now, deferred = assign_fetch_slots(
-            allowed, cfg.host_slots_per_round, cfg.politeness_salts
+            allowed, cfg.host_slots_per_round, cfg.politeness_salts,
+            host_slots=host_slots,  # e.g. robots Crawl-delay -> slots/round
         )
 
         # J1 — fetch + size gate + ONE fused parse producing children AND

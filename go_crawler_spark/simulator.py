@@ -86,6 +86,9 @@ def simulate(
     # robots entries: (host, disallow_prefix) 2-tuples for the simple
     # prefix model, or (host, allow, pattern) 3-tuples for RFC 9309
     # longest-match (allow wins pattern-length ties; no match = allowed)
+    host_slot_overrides: "Optional[Dict[str, int]]" = None,
+    # per-host politeness slot limits (e.g. from robots Crawl-delay);
+    # hosts absent here use cfg.host_slots_per_round (unlimited if <= 0)
 ) -> SimResult:
     res = SimResult()
     rules: Dict[str, List[str]] = {}
@@ -146,11 +149,18 @@ def simulate(
                 allowed.append(it)
 
         # politeness [EXTENSION]: first `slots` per host by seq
-        if cfg.host_slots_per_round > 0:
+        if cfg.host_slots_per_round > 0 or host_slot_overrides:
+            default_slots = (
+                cfg.host_slots_per_round
+                if cfg.host_slots_per_round > 0
+                else 2**31 - 1
+            )
+            overrides = host_slot_overrides or {}
             taken: Dict[str, int] = {}
             fetch_now, deferred = [], []
             for it in allowed:
-                if taken.get(it.host, 0) < cfg.host_slots_per_round:
+                limit = overrides.get(it.host, default_slots)
+                if taken.get(it.host, 0) < limit:
                     taken[it.host] = taken.get(it.host, 0) + 1
                     fetch_now.append(it)
                 else:

@@ -57,6 +57,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    "(host, disallow_prefix) rules, an RFC 9309 rules "
                    "table from parse_robots_rules, or a (host, body) "
                    "table of raw robots.txt files (auto-parsed)")
+    p.add_argument("--round-seconds", type=float, default=0,
+                   help="with a raw robots.txt corpus (--robots host/body "
+                   "table): honor Crawl-delay by granting each host "
+                   "floor(round_seconds/delay) politeness slots per round")
     p.add_argument("--output", default="./crawl_out",
                    help="output dir (CRAWLER_OUTPUT_DIR)")
     p.add_argument("--resume", help="workdir of an interrupted crawl")
@@ -110,6 +114,7 @@ def main(argv=None) -> None:
         pages.count()
 
     robots = None
+    host_slots = None
     if args.robots:
         reader = spark.read
         robots = (
@@ -118,13 +123,22 @@ def main(argv=None) -> None:
             else reader.option("header", True).csv(args.robots)
         )
         if "body" in robots.columns:  # raw robots.txt corpus -> RFC rules
-            from go_crawler_spark.functions.robots import parse_robots_rules
+            from go_crawler_spark.functions.robots import (
+                crawl_delay_slots,
+                parse_crawl_delays,
+                parse_robots_rules,
+            )
 
+            if args.round_seconds > 0:
+                host_slots = crawl_delay_slots(
+                    parse_crawl_delays(robots), args.round_seconds
+                )
             robots = parse_robots_rules(robots)
 
     if args.resume:
         res = resume_crawl(spark, pages, cfg, args.resume,
-                           robots=robots, max_rounds=args.max_rounds)
+                           robots=robots, max_rounds=args.max_rounds,
+                           host_slots=host_slots)
     else:
         if args.seeds_file:
             if args.seeds_file.endswith(".parquet") or os.path.isdir(args.seeds_file):
@@ -141,7 +155,8 @@ def main(argv=None) -> None:
         workdir = os.path.join(args.output, "work")
         os.makedirs(args.output, exist_ok=True)
         res = run_crawl(spark, pages, seeds, cfg, robots=robots,
-                        workdir=workdir, max_rounds=args.max_rounds)
+                        workdir=workdir, max_rounds=args.max_rounds,
+                        host_slots=host_slots)
 
     # publish the user-facing tables (S4 sink + schedule + metrics);
     # pages_out/fetched are None when no round produced a fetched_ log

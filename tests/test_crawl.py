@@ -136,6 +136,39 @@ def test_robots_rfc(spark, pages_df, corpus):
     _assert_match(spark, pages_df, corpus, cfg, robots=rules)
 
 
+def test_crawl_delay_host_slots(spark, pages_df, corpus):
+    """Per-host slot overrides (robots Crawl-delay -> slots/round) through
+    the crawl loop: engine == simulator with the same override map."""
+    from go_crawler_spark.plans.crawl import run_crawl as _run
+
+    cfg = CrawlConfig(max_count=60, host_slots_per_round=6)
+    overrides = {"big.example.com": 2, "alpha.example.org": 1}
+    host_slots_df = spark.createDataFrame(
+        list(overrides.items()), "host string, host_slots int"
+    )
+    res = _run(
+        spark, pages_df, default_seeds(), cfg, host_slots=host_slots_df
+    )
+    e_sched = {
+        (r["url"], r["kind"], r["depth"], r["seq"])
+        for r in res.schedule.collect()
+    }
+    e_fetched = {
+        (r["url"], r["round"], r["status"]) for r in res.fetched.collect()
+    }
+    sim = simulate(
+        corpus, default_seeds(), cfg, host_slot_overrides=overrides
+    )
+    s_sched = {(it.url, it.kind, it.depth, it.seq) for it in sim.schedule}
+    s_fetched = {
+        (it.url, it.fetch_round, it.status)
+        for it in sim.schedule
+        if it.fetch_round >= 0
+    }
+    assert e_sched == s_sched
+    assert e_fetched == s_fetched
+
+
 def test_size_gate(spark, pages_df, corpus):
     """S3: oversized content → skipped_download, row preserved."""
     cfg = CrawlConfig(max_count=30, max_file_size=900)

@@ -173,3 +173,54 @@ class TestMatcherDifferential:
             assert via_regex == via_scan, (pattern, path)
             checked += 1
         assert checked == 4000
+
+
+class TestCrawlDelay:
+    BODY = "\n".join(
+        [
+            "User-agent: *",
+            "Crawl-delay: 10",
+            "Disallow: /x",
+            "",
+            "User-agent: fetchbot",
+            "Crawl-delay: 2.5",
+            "",
+            "User-agent: broken",
+            "Crawl-delay: soon",  # invalid -> dropped
+        ]
+    )
+
+    def test_parse(self):
+        from go_crawler_spark.functions.robots import parse_crawl_delays_body
+
+        assert parse_crawl_delays_body(self.BODY) == [
+            ("*", 10.0),
+            ("fetchbot", 2.5),
+        ]
+
+    def test_slots_conversion(self, spark):
+        from go_crawler_spark.functions.robots import (
+            crawl_delay_slots,
+            parse_crawl_delays,
+        )
+
+        corpus = spark.createDataFrame(
+            [("a.com", self.BODY), ("b.com", "User-agent: *\nCrawl-delay: 120\n")],
+            ["host", "body"],
+        )
+        delays = parse_crawl_delays(corpus)
+        # generic agent at a 60-second round: a.com 60/10 = 6 slots,
+        # b.com delay 120 > round -> minimum 1 slot
+        star = {
+            r["host"]: r["host_slots"]
+            for r in crawl_delay_slots(delays, round_seconds=60).collect()
+        }
+        assert star == {"a.com": 6, "b.com": 1}
+        # fetchbot has its own (faster) group on a.com: 60/2.5 = 24
+        fb = {
+            r["host"]: r["host_slots"]
+            for r in crawl_delay_slots(
+                delays, round_seconds=60, agent="fetchbot"
+            ).collect()
+        }
+        assert fb == {"a.com": 24, "b.com": 1}
