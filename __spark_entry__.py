@@ -538,6 +538,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("quality") >= 0.7) & (F.col("lang") != "und")
         )
 
+    def corpus_prepare_v2(spark, sf):
+        # Full round-2 composition — what a webtext pipeline runs between
+        # "crawled" and "trainable": plant deterministic PII (making the
+        # scrub observable) -> PII scrub -> GPT-3-style 5-gram
+        # decontamination vs a benchmark slice -> language ID + quality
+        # gate -> deterministic md5-band split -> per-(split, lang) doc
+        # and token accounting. Quality sums go through DECIMAL(18,6) so
+        # parallel summation order cannot move the 6-dp result.
+        from go_crawler_spark.operators.corpus_prep import (
+            decontaminate,
+            hash_split,
+        )
+
+        docs = _t(spark, sf, "documents")
+        enriched = docs.select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ).alias("text"),
+        )
+        scrubbed = enriched.select(
+            "doc_id", "source", T.scrub_pii(F.col("text")).alias("text")
+        )
+        bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+        decon = decontaminate(scrubbed, bench, ngram=5)
+        scored = decon.select(
+            "doc_id",
+            T.lang_id(F.col("text")).alias("lang"),
+            F.round(T.quality_score(F.col("text")), 6).alias("q"),
+            T.word_token_count(F.col("text")).alias("n_atoms"),
+        )
+        gated = scored.filter((F.col("q") >= 0.7) & (F.col("lang") != "und"))
+        split = hash_split(gated)
+        return split.groupBy("split", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_atoms").cast("long").alias("n_tokens"),
+            F.sum(F.col("q").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_quality"),
+        )
+
     def ngram_jaccard_pairs(spark, sf):
         # exact token-3-gram Jaccard for all pairs among doc_id < 30
         docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
@@ -1004,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed_urls": sitemap_seed_urls,
         "events_asof_join": events_asof_join,
         "neardup_keep_best": neardup_keep_best,
+        "corpus_prepare_v2": corpus_prepare_v2,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -1311,6 +1357,83 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {en} AS h_en, {de} AS h_de,
                        {fr} AS h_fr, {es} AS h_es
                 FROM documents))
+        """,
+        "corpus_prepare_v2": f"""
+            WITH enriched AS (
+              SELECT doc_id, source,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com now' AS text
+              FROM documents
+            ), scrubbed AS (
+              SELECT doc_id, source,
+                     regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS text
+              FROM enriched
+            ), st AS (
+              SELECT doc_id, {toks_norm} AS t FROM scrubbed
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+              FROM st
+            ), bt AS (
+              SELECT {toks_norm} AS t FROM documents WHERE doc_id % 50 = 0
+            ), bg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 4, 0)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+                FROM bt)
+            ), bad AS (
+              SELECT DISTINCT g.doc_id FROM g SEMI JOIN bg USING (gram)
+            ), decon AS (
+              SELECT s.* FROM scrubbed s ANTI JOIN bad USING (doc_id)
+            ), scored AS (
+              SELECT doc_id,
+                     CASE WHEN best = 0 THEN 'und'
+                          WHEN h_de = best THEN 'de'
+                          WHEN h_en = best THEN 'en'
+                          WHEN h_es = best THEN 'es'
+                          ELSE 'fr' END AS lang,
+                     round(
+                       0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                                   WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+                     + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                              ELSE len(regexp_replace(text,
+                                   '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                                   / len(text) END)
+                     + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                              ELSE h_en * 1.0 / ntok END), 6) AS q,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]'))
+                       AS n_atoms
+              FROM (
+                SELECT doc_id, text,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok,
+                       {en} AS h_en, {de} AS h_de,
+                       {fr} AS h_fr, {es} AS h_es,
+                       greatest({en}, {de}, {fr}, {es}) AS best
+                FROM decon)
+            ), gated AS (
+              SELECT * FROM scored WHERE q >= 0.7 AND lang <> 'und'
+            ), sp AS (
+              SELECT *,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                               < 'c' THEN 'train'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                               < 'e' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM gated
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_atoms) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_quality
+            FROM sp GROUP BY split, lang
         """,
         "pii_scrub": """
             WITH enriched AS (
