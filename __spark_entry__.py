@@ -742,6 +742,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max(F.col("ts").cast("timestamp").cast("long")).alias("session_end_epoch"),
         )
 
+    def _synth_url(doc):
+        # deterministic Common-Crawl-ish URL per document: optional
+        # userinfo, subdomain, port, query, fragment — every branch the
+        # SURT/host expressions must handle. Mirrored verbatim in the
+        # oracle SQL (_SYNTH_URL_SQL).
+        d = F.col("doc_id")
+        return F.concat(
+            F.lit("https://"),
+            F.when(d % 7 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit("www."))
+            .when(d % 3 == 1, F.lit("cdn."))
+            .otherwise(F.lit("")),
+            F.col("source"),
+            F.lit("-site.org"),
+            F.when(d % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/Docs/"),
+            d.cast("string"),
+            F.when(d % 4 == 0, F.lit("?page=2&ref=a")).otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+
+    def surt_keys(spark, sf):
+        # frontier locality key: reversed-host SURT (range-partition the
+        # frontier on this and same-host URLs co-locate; see
+        # functions/urls.py::surt_key_expr)
+        from go_crawler_spark.functions.urls import surt_host_expr, surt_key_expr
+
+        docs = _t(spark, sf, "documents").withColumn("url", _synth_url("doc_id"))
+        return docs.select(
+            "doc_id",
+            "url",
+            surt_host_expr("url").alias("host"),
+            surt_key_expr("url").alias("surt"),
+        )
+
+    def url_blocklist_gate(spark, sf):
+        # UT1-style domain blocklist: broadcast equality join on the
+        # registrable domain covers every subdomain — no suffix LIKE scan
+        from go_crawler_spark.functions.urls import (
+            registrable_domain_expr,
+            surt_host_expr,
+        )
+
+        docs = _t(spark, sf, "documents").withColumn("url", _synth_url("doc_id"))
+        hosts = docs.select(
+            "doc_id",
+            surt_host_expr("url").alias("host"),
+        ).withColumn("registrable", registrable_domain_expr("host"))
+        block = spark.createDataFrame(
+            [("src3-site.org",), ("src7-site.org",), ("src12-site.org",)],
+            "registrable string",
+        ).withColumn("blocked", F.lit(True))
+        return (
+            hosts.join(F.broadcast(block), "registrable", "left")
+            .select(
+                "doc_id",
+                "host",
+                F.coalesce("blocked", F.lit(False)).alias("blocked"),
+            )
+        )
+
+    def crawl_snapshot_diff(spark, sf):
+        # incremental recrawl: full-outer fingerprint diff of two snapshots
+        from go_crawler_spark.operators.revisit import snapshot_diff
+
+        docs = _t(spark, sf, "documents")
+        fp_old = F.md5(T.normalize_for_fingerprint(F.col("text")))
+        # second snapshot: every 5th doc vanished, every 3rd changed, and
+        # 30 new URLs appeared
+        old = docs.filter(F.col("doc_id") % 7 != 0).select(
+            F.col("doc_id").alias("url_id"), fp_old.alias("fingerprint")
+        )
+        new_fp = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.md5(F.concat(T.normalize_for_fingerprint(F.col("text")), F.lit("!v2"))),
+        ).otherwise(fp_old)
+        new = docs.filter(F.col("doc_id") % 5 != 0).select(
+            F.col("doc_id").alias("url_id"), new_fp.alias("fingerprint")
+        )
+        return snapshot_diff(old, new, key_col="url_id")
+
+    def recrawl_due(spark, sf):
+        # adaptive revisit policy over per-URL fetch stats (events table:
+        # user_id ~ url, one event ~ one observed fetch)
+        from go_crawler_spark.operators.revisit import recrawl_schedule
+
+        ev = _t(spark, sf, "events")
+        stats = ev.groupBy(F.col("user_id").alias("url_id")).agg(
+            F.max("ts").alias("last_fetch_ts"),
+            F.count(F.lit(1)).alias("fetch_count"),
+            F.countDistinct("event_type").alias("change_count"),
+        )
+        return recrawl_schedule(
+            stats, now_epoch_s=1_707_955_200, url_col="url_id"  # 2024-02-15 UTC
+        )
+
+    def stratified_sample_lang(spark, sf):
+        # deterministic per-language downsampling (materializes source_mix)
+        from go_crawler_spark.operators.corpus_prep import stratified_sample
+
+        docs = _t(spark, sf, "documents")
+        rates = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.0}
+        return stratified_sample(
+            docs, rates, strata_col="lang", default_rate=0.125
+        ).select("doc_id", "lang")
+
     def embedding_pair_sims(spark, sf):
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 15)
         # compute in float64 on both sides (oracle casts to DOUBLE[] too)
@@ -1059,6 +1165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_recall": embedding_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
         "events_sessionization": events_sessionization,
+        "surt_keys": surt_keys,
+        "url_blocklist_gate": url_blocklist_gate,
+        "crawl_snapshot_diff": crawl_snapshot_diff,
+        "recrawl_due": recrawl_due,
+        "stratified_sample_lang": stratified_sample_lang,
         "tpch_pricing_summary": tpch_pricing_summary,
         "revenue_by_priority": revenue_by_priority,
         "crawl_flagship": crawl_flagship,
@@ -1096,6 +1207,19 @@ def oracle_sql() -> dict[str, str]:
     norm_text = _NORM_SQL.format(c="text")
     toks_raw = _TOKS_SQL.format(c="lower(text)")
     toks_norm = _TOKS_SQL.format(c=norm_text)
+
+    # mirrors queries()._synth_url exactly (deterministic URL per document)
+    _SYNTH_URL_SQL = (
+        "'https://'"
+        " || CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN 'www.'"
+        "         WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END"
+        " || source || '-site.org'"
+        " || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END"
+        " || '/Docs/' || CAST(doc_id AS VARCHAR)"
+        " || CASE WHEN doc_id % 4 = 0 THEN '?page=2&ref=a' ELSE '' END"
+        " || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"
+    )
 
     def lang_hits(words: tuple[str, ...]) -> str:
         lst = ", ".join(f"'{w}'" for w in words)
@@ -1738,6 +1862,93 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
                    max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_epoch
             FROM s GROUP BY user_id, session_id
+        """,
+        "surt_keys": f"""
+            WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+            p AS (SELECT doc_id, url,
+                    regexp_replace(string_split(url, '#')[1],
+                                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+                  FROM u),
+            a AS (SELECT *, regexp_extract(rest, '^[^/?]*') AS authority FROM p),
+            h AS (SELECT *,
+                    regexp_replace(lower(string_split(
+                        string_split(authority, '@')[-1], ':')[1]),
+                        '\\.$', '') AS host,
+                    substring(rest, length(authority) + 1) AS tail
+                  FROM a)
+            SELECT doc_id, url, host,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')' ||
+                   CASE WHEN tail = '' THEN '/'
+                        WHEN tail LIKE '?%' THEN '/' || tail
+                        ELSE tail END AS surt
+            FROM h
+        """,
+        "url_blocklist_gate": f"""
+            WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+            h AS (SELECT doc_id,
+                    regexp_replace(lower(string_split(string_split(
+                        regexp_extract(regexp_replace(string_split(url, '#')[1],
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*'),
+                        '@')[-1], ':')[1]), '\\.$', '') AS host
+                  FROM u),
+            r AS (SELECT doc_id, host,
+                    string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                        AS registrable
+                  FROM h)
+            SELECT doc_id, host,
+                   registrable IN ('src3-site.org', 'src7-site.org',
+                                   'src12-site.org') AS blocked
+            FROM r
+        """,
+        "crawl_snapshot_diff": f"""
+            WITH oldr AS (
+              SELECT doc_id AS url_id, md5({norm_text}) AS old_fp
+              FROM documents WHERE doc_id % 7 <> 0
+            ), newr AS (
+              SELECT doc_id AS url_id,
+                     CASE WHEN doc_id % 3 = 0 THEN md5({norm_text} || '!v2')
+                          ELSE md5({norm_text}) END AS new_fp
+              FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT url_id, old_fp, new_fp,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp = new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM oldr FULL OUTER JOIN newr USING (url_id)
+        """,
+        "recrawl_due": """
+            WITH stats AS (
+              SELECT user_id AS url_id,
+                     max(ts) AS last_fetch_ts,
+                     count(*) AS fetch_count,
+                     count(DISTINCT event_type) AS change_count
+              FROM events GROUP BY user_id
+            ), calc AS (
+              SELECT url_id, fetch_count, change_count, last_fetch_ts,
+                     greatest(86400, least(2592000,
+                       CAST(floor(86400.0 * fetch_count / (change_count + 1))
+                            AS BIGINT))) AS interval_s
+              FROM stats
+            )
+            SELECT url_id, fetch_count, change_count, interval_s,
+                   1707955200 - (CAST(floor(epoch(last_fetch_ts)) AS BIGINT)
+                                 + interval_s) AS overdue_s
+            FROM calc
+            WHERE 1707955200 - (CAST(floor(epoch(last_fetch_ts)) AS BIGINT)
+                                + interval_s) > 0
+        """,
+        "stratified_sample_lang": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8) <
+                  CASE lang
+                    WHEN 'en' THEN '80000000'
+                    WHEN 'fr' THEN '40000000'
+                    WHEN 'es' THEN '00000000'
+                    ELSE '20000000'
+                  END
+               OR lang = 'de'
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -354,3 +354,66 @@ def with_url_hash(df, url_col: str = "url", out_col: str = "url_hash"):
     """64-bit identity hash for frontier/seen partitioning [EXTENSION —
     north rule mandates xxhash64]. JVM-side built-in, no Python."""
     return df.withColumn(out_col, F.xxhash64(F.col(url_col)))
+
+
+# ---------------------------------------------------------------------------
+# SURT locality key (pure-JVM column expressions, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+def surt_host_expr(url):
+    """Lower-cased host of an absolute URL, as a JVM Column: authority up to
+    the first ``/`` or ``?``, userinfo and port stripped, trailing dot
+    removed. Input is assumed canonical (post-P3/P4 absolutize), so no
+    stdlib error paths are needed — every step is a built-in string op
+    inside whole-stage codegen."""
+    url = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(
+        F.split(url, "#", 2).getItem(0), r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""
+    )
+    authority = F.regexp_extract(rest, r"^[^/?]*", 0)
+    host_port = F.element_at(F.split(authority, "@"), -1)
+    host = F.lower(F.split(host_port, ":", 2).getItem(0))
+    return F.regexp_replace(host, r"\.$", "")
+
+
+def surt_key_expr(url):
+    """SURT-style sort/partition key [EXTENSION — frontier locality]:
+    ``com,example,www)/path?query`` — the host reversed label-by-label and
+    comma-joined, then ``)``, then the path+query (fragment stripped; empty
+    path becomes ``/``). Range-partitioning the frontier on this key
+    co-locates every URL of a host (and of a registrable domain's
+    subdomains, which share the key prefix) in the same partitions, so
+    per-host politeness grouping and prefix index lookups touch few
+    partitions instead of all of them — the layout Common Crawl's URL index
+    uses for exactly this reason. Simplifications vs. pywb SURT, chosen for
+    a one-pass JVM expression and documented here: the port is always
+    dropped (not just default ports) and path/query case is preserved.
+    This is a LOCALITY key, not an identity key — identity stays the
+    canonical URL string (Q1, ``Queueable.ItemId``, models.go:149-151)."""
+    url = F.col(url) if isinstance(url, str) else url
+    no_frag = F.split(url, "#", 2).getItem(0)
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    authority = F.regexp_extract(rest, r"^[^/?]*", 0)
+    host = surt_host_expr(url)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # path+query = everything after the authority; '' -> '/', '?...' -> '/?...'
+    tail = F.substring(rest, F.length(authority) + F.lit(1), F.lit(1 << 30))
+    path_q = (
+        F.when(F.length(tail) == 0, F.lit("/"))
+        .when(F.startswith(tail, F.lit("?")), F.concat(F.lit("/"), tail))
+        .otherwise(tail)
+    )
+    return F.concat(rev, F.lit(")"), path_q)
+
+
+def registrable_domain_expr(host):
+    """Last two host labels as a JVM Column (``cdn.src3.example.org`` →
+    ``example.org``) — the blocklist/politeness grouping key when a public
+    suffix list is out of scope (documented simplification: two labels,
+    which is exact for the synthetic corpus and for .com/.org style hosts).
+    Broadcast-joining a blocklist on this key covers every subdomain with
+    an equality join — no per-row suffix LIKE scan over 10^10 URLs."""
+    host = F.col(host) if isinstance(host, str) else host
+    labels = F.split(host, r"\.")
+    return F.array_join(F.slice(labels, -2, 2), ".")

@@ -193,6 +193,57 @@ def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("split", expr)
 
 
+def sample_threshold_hex(rate: float, digits: int = 8) -> str:
+    """Zero-padded hex threshold such that ``substr(md5(x), 1, digits) <
+    threshold`` keeps an (asymptotically) ``rate`` fraction of uniformly
+    hashed inputs. Hex strings of equal length compare like the numbers
+    they encode, so the comparison stays a pure string op — exact and
+    identical across engines (no hex→int conversion, which DuckDB and
+    Spark spell differently). ``rate ≥ 1`` has no same-length threshold
+    (callers keep everything without comparing)."""
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"rate must be in [0,1), got {rate}")
+    return format(int(rate * (16 ** digits)), f"0{digits}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the materialization step
+    for ``source_mix_weights``: given target keep-rates per stratum
+    (language / source / quality bucket), keep a row iff its salted md5
+    band falls under the stratum's threshold.
+
+    Same scale properties as ``hash_split``: stateless and map-only (a
+    row's verdict depends only on its own id + stratum), so membership is
+    stable under reruns, repartitioning, incremental corpus growth, and
+    cluster size — re-running the sampler on a grown corpus only ADDS
+    rows. The salt decorrelates the sample from the train/val/test split
+    (which hashes the unsalted id), so sampling is independent of split
+    assignment. No shuffle, no Python, whole-stage codegen throughout.
+    """
+    band = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+
+    def rate_cond(rate: float):
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return band < F.lit(sample_threshold_hex(rate))
+
+    keep = rate_cond(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        keep = F.when(F.col(strata_col) == stratum, rate_cond(rate)).otherwise(keep)
+    return df.filter(keep)
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",

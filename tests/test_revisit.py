@@ -1,0 +1,181 @@
+"""Unit tests for the incremental re-crawl tier (operators/revisit.py),
+the SURT locality key (functions/urls.py), and stratified sampling
+(operators/corpus_prep.py). The oracle-parity replica in
+test_queries_oracle.py covers the end-to-end query shapes; these pin the
+edge semantics directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_crawler_spark.functions.urls import (
+    registrable_domain_expr,
+    surt_host_expr,
+    surt_key_expr,
+)
+from go_crawler_spark.operators.corpus_prep import (
+    sample_threshold_hex,
+    stratified_sample,
+)
+from go_crawler_spark.operators.revisit import recrawl_schedule, snapshot_diff
+
+
+# ---------------------------------------------------------------------------
+# SURT key
+# ---------------------------------------------------------------------------
+
+SURT_CASES = [
+    # (url, host, surt)
+    ("https://www.Example.COM/a/b?q=1#frag", "www.example.com",
+     "com,example,www)/a/b?q=1"),
+    ("http://example.com", "example.com", "com,example)/"),
+    ("https://example.com?q=1", "example.com", "com,example)/?q=1"),
+    ("https://user:pw@cdn.example.org:8080/Docs/7", "cdn.example.org",
+     "org,example,cdn)/Docs/7"),       # userinfo + port stripped, path case kept
+    ("https://example.net./x", "example.net", "net,example)/x"),  # trailing dot
+]
+
+
+def test_surt_key_golden(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in SURT_CASES], "url string")
+    rows = (
+        df.select(
+            "url",
+            surt_host_expr("url").alias("host"),
+            surt_key_expr("url").alias("surt"),
+        )
+        .collect()
+    )
+    got = {r["url"]: (r["host"], r["surt"]) for r in rows}
+    for url, host, surt in SURT_CASES:
+        assert got[url] == (host, surt), url
+
+
+def test_surt_prefix_groups_subdomains(spark):
+    # same registrable domain ⇒ shared SURT prefix (the locality property)
+    df = spark.createDataFrame(
+        [("https://a.example.com/1",), ("https://b.example.com/2",),
+         ("https://example.com/3",)],
+        "url string",
+    )
+    keys = [r[0] for r in df.select(surt_key_expr("url")).collect()]
+    assert all(k.startswith("com,example") for k in keys)
+
+
+def test_registrable_domain_expr(spark):
+    df = spark.createDataFrame(
+        [("cdn.src3-site.org",), ("src3-site.org",), ("a.b.example.com",)],
+        "host string",
+    )
+    got = [r[0] for r in df.select(registrable_domain_expr("host")).collect()]
+    assert got == ["src3-site.org", "src3-site.org", "example.com"]
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "f2"), ("u3", "f3")], "url string, fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "f2"), ("u3", "f3x"), ("u4", "f4")], "url string, fingerprint string"
+    )
+    got = {
+        r["url"]: r["change"] for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
+
+
+# ---------------------------------------------------------------------------
+# recrawl schedule
+# ---------------------------------------------------------------------------
+
+def _stats(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url string, last_fetch_ts timestamp, fetch_count long, change_count long",
+    )
+
+
+def test_recrawl_interval_clamps_and_due(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    now = int(dt.datetime(2024, 1, 10).timestamp())  # host tz == UTC in CI
+    df = _stats(
+        spark,
+        [
+            ("fresh", t0, 1, 0),      # interval = base (1d) -> overdue 8d
+            ("stable", t0, 100, 0),   # 100d uncapped -> capped at 30d, not due
+            ("churny", t0, 10, 9),    # 1d floor -> due
+            ("recent", dt.datetime(2024, 1, 9, 23), 1, 0),  # due in <1d -> not due
+        ],
+    )
+    out = {r["url"]: r for r in recrawl_schedule(df, now).collect()}
+    assert set(out) == {"fresh", "churny"}
+    assert out["fresh"]["interval_s"] == 86_400
+    assert out["fresh"]["overdue_s"] == 8 * 86_400
+    assert out["churny"]["interval_s"] == 86_400
+
+
+def test_recrawl_backoff_monotone_in_stability(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2023, 1, 1)
+    df = _stats(spark, [(f"u{c}", t0, 20, c) for c in range(6)])
+    now = int(dt.datetime(2024, 1, 1).timestamp())
+    rows = recrawl_schedule(df, now).orderBy("change_count").collect()
+    intervals = [r["interval_s"] for r in rows]
+    assert intervals == sorted(intervals, reverse=True)  # more change, sooner
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_sample_threshold_hex():
+    assert sample_threshold_hex(0.5) == "80000000"
+    assert sample_threshold_hex(0.25) == "40000000"
+    assert sample_threshold_hex(0.0) == "00000000"
+    with pytest.raises(ValueError):
+        sample_threshold_hex(1.0)
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    # membership of the first 200 ids is unchanged when 300 more arrive —
+    # the map-only/stateless property the docstring promises
+    full = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    small = full.filter(F.col("doc_id") < 200)
+    rates = {"en": 0.3, "de": 0.7}
+    a = {r[0] for r in stratified_sample(small, rates).select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in stratified_sample(full, rates)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+    assert 0 < len(a) < 200
+
+
+def test_stratified_sample_rate_zero_and_one(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep").otherwise("drop").alias("lang"),
+    )
+    out = stratified_sample(df, {"keep": 1.0, "drop": 0.0})
+    langs = {r[0] for r in out.select("lang").distinct().collect()}
+    assert langs == {"keep"}
+    assert out.count() == 50
