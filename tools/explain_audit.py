@@ -184,6 +184,44 @@ def main() -> None:
         {"BroadcastHashJoin": True},
     )
 
+    # 7. URL blocklist gate → blocklist broadcast; the URL side never
+    # shuffles (equality join on registrable domain, no suffix LIKE scan)
+    audit(
+        "url_blocklist_gate (broadcast blocklist, no shuffle of the URL side)",
+        qs["url_blocklist_gate"](spark, SF),
+        {"BroadcastHashJoin": True, "SortMergeJoin": False,
+         "ShuffledHashJoin": False},
+    )
+
+    # 8. snapshot diff → the full-outer join shuffles only (key,
+    # fingerprint); document text never enters an exchange
+    audit_custom(
+        "crawl_snapshot_diff (join carries key+fingerprint only)",
+        qs["crawl_snapshot_diff"](spark, SF),
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
+    # 9. map-only operators → zero exchanges end-to-end
+    audit(
+        "surt_keys (map-only, whole-stage codegen, no shuffle)",
+        qs["surt_keys"](spark, SF),
+        {"Exchange": False, "codegen id": True},
+    )
+    audit(
+        "stratified_sample_lang (stateless map-only, no shuffle)",
+        qs["stratified_sample_lang"](spark, SF),
+        {"Exchange": False, "codegen id": True},
+    )
+
+    # 10. recrawl scheduling → one partial-agg'd aggregation, then pure
+    # expressions (the policy itself adds no extra shuffle)
+    audit(
+        "recrawl_due (map-side partial agg; policy is expression-only)",
+        qs["recrawl_due"](spark, SF),
+        {"partial_max": True},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
