@@ -838,6 +838,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stats, now_epoch_s=1_707_955_200, url_col="url_id"  # 2024-02-15 UTC
         )
 
+    def url_strip_tracking(spark, sf):
+        # query canonicalization: drop tracking params, sort survivors —
+        # share-link identity collapse before the Q1 seen-check
+        from go_crawler_spark.functions.urls import strip_tracking_params_expr
+
+        d = F.col("doc_id")
+        qs_variant = (
+            F.when(d % 4 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+            .when(d % 4 == 1, F.lit("?fbclid=abc"))
+            .when(d % 4 == 2, F.lit("?z=9&gclid=x&y=8&utm_medium=email"))
+            .otherwise(F.lit(""))
+        )
+        docs = _t(spark, sf, "documents").withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit("-site.org/p/"),
+                d.cast("string"), qs_variant,
+            ),
+        )
+        return docs.select(
+            "doc_id", "url", strip_tracking_params_expr("url").alias("clean_url")
+        )
+
     def stratified_sample_lang(spark, sf):
         # deterministic per-language downsampling (materializes source_mix)
         from go_crawler_spark.operators.corpus_prep import stratified_sample
@@ -1169,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_gate": url_blocklist_gate,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "recrawl_due": recrawl_due,
+        "url_strip_tracking": url_strip_tracking,
         "stratified_sample_lang": stratified_sample_lang,
         "tpch_pricing_summary": tpch_pricing_summary,
         "revenue_by_priority": revenue_by_priority,
@@ -1938,6 +1962,33 @@ def oracle_sql() -> dict[str, str]:
             FROM calc
             WHERE 1707955200 - (CAST(floor(epoch(last_fetch_ts)) AS BIGINT)
                                 + interval_s) > 0
+        """,
+        "url_strip_tracking": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '-site.org/p/'
+                     || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=tw&b=2&a=1'
+                             WHEN doc_id % 4 = 1 THEN '?fbclid=abc'
+                             WHEN doc_id % 4 = 2 THEN '?z=9&gclid=x&y=8&utm_medium=email'
+                             ELSE '' END AS url
+              FROM documents
+            ), s AS (
+              SELECT doc_id, url, string_split(url, '?') AS parts FROM u
+            ), t AS (
+              SELECT doc_id, url, parts[1] AS base,
+                     CASE WHEN len(parts) > 1 THEN
+                       list_sort(list_filter(string_split(parts[2], '&'),
+                         p -> len(p) > 0 AND NOT regexp_matches(p,
+                           '^(utm_|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)')))
+                     ELSE NULL END AS kept
+              FROM s
+            )
+            SELECT doc_id, url,
+                   CASE WHEN kept IS NULL OR len(kept) = 0 THEN base
+                        ELSE base || '?' || array_to_string(kept, '&') END
+                       AS clean_url
+            FROM t
         """,
         "stratified_sample_lang": """
             SELECT doc_id, lang FROM documents

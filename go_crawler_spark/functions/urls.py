@@ -407,6 +407,39 @@ def surt_key_expr(url):
     return F.concat(rev, F.lit(")"), path_q)
 
 
+# tracking parameters stripped by query canonicalization: the de-facto
+# public list (utm_* per Google Analytics docs, plus the big platforms'
+# click ids). Name-prefix match on the raw `name=value` token.
+TRACKING_PARAM_RE = r"^(utm_|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)"
+
+
+def strip_tracking_params_expr(url):
+    """Query canonicalization [EXTENSION — Q1 identity quality]: drop
+    tracking parameters and sort the survivors, so `?b=2&utm_source=x&a=1`
+    and `?a=1&b=2` collapse to one frontier identity. Without this, every
+    tracking-tagged share link re-enters a 10^10-URL frontier as a distinct
+    URL — at web scale tracking params are a dedup multiplier, not noise.
+
+    Pure JVM higher-order functions (filter/array_sort/array_join inside
+    whole-stage codegen) — no Python, no shuffle. Applied after fragment
+    strip (P3), so inputs carry no ``#fragment``. Sorting is bytewise on
+    the raw ``name=value`` token (cross-engine stable); percent-encoding
+    is preserved untouched."""
+    url = F.col(url) if isinstance(url, str) else url
+    parts = F.split(url, r"\?", 2)
+    base = parts.getItem(0)
+    qs = F.get(parts, 1)  # null when there is no '?'
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        qs.isNull() | (F.size(kept) == 0), base
+    ).otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+
+
 def registrable_domain_expr(host):
     """Last two host labels as a JVM Column (``cdn.src3.example.org`` →
     ``example.org``) — the blocklist/politeness grouping key when a public

@@ -179,3 +179,31 @@ def test_stratified_sample_rate_zero_and_one(spark):
     langs = {r[0] for r in out.select("lang").distinct().collect()}
     assert langs == {"keep"}
     assert out.count() == 50
+
+
+# ---------------------------------------------------------------------------
+# tracking-param strip (query canonicalization)
+# ---------------------------------------------------------------------------
+
+STRIP_CASES = [
+    ("https://e.com/p?utm_source=tw&b=2&a=1", "https://e.com/p?a=1&b=2"),
+    ("https://e.com/p?fbclid=abc", "https://e.com/p"),
+    ("https://e.com/p", "https://e.com/p"),          # no query at all
+    ("https://e.com/p?", "https://e.com/p"),         # empty query
+    ("https://e.com/p?a=1&a=0", "https://e.com/p?a=0&a=1"),  # dup keys sorted
+    ("https://e.com/p?ref_src=twsrc&gclid=1&z=1", "https://e.com/p?z=1"),
+]
+
+
+def test_strip_tracking_params_golden(spark):
+    from go_crawler_spark.functions.urls import strip_tracking_params_expr
+
+    df = spark.createDataFrame([(u,) for u, _ in STRIP_CASES], "url string")
+    got = {
+        r["url"]: r["clean"]
+        for r in df.select(
+            "url", strip_tracking_params_expr("url").alias("clean")
+        ).collect()
+    }
+    for url, expect in STRIP_CASES:
+        assert got[url] == expect, url
