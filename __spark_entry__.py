@@ -861,6 +861,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", strip_tracking_params_expr("url").alias("clean_url")
         )
 
+    def mime_sniff(spark, sf):
+        # classify fetched payloads by magic bytes (servers lie about
+        # Content-Type); synthetic payload = known magic + text bytes
+        from go_crawler_spark.operators.multimodal import sniff_mime_expr
+
+        d = F.col("doc_id")
+        magic_hex = (
+            F.when(d % 10 == 0, "89504E470D0A1A0A")            # PNG
+            .when(d % 10 == 1, "FFD8FFE0")                     # JPEG
+            .when(d % 10 == 2, "47494638")                     # GIF
+            .when(d % 10 == 3, "25504446")                     # PDF
+            .when(d % 10 == 4, "5249464658585858574156450000")  # RIFF/WAVE
+            .when(d % 10 == 5, "524946465858585857454250")      # RIFF/WEBP
+            .when(d % 10 == 6, "3C68746D6C3E")                 # <html>
+            .when(d % 10 == 7, "494433")                       # ID3 mp3
+            .when(d % 10 == 8, "1F8B08")                       # gzip
+            .otherwise("00112233")                             # unknown
+        )
+        docs = _t(spark, sf, "documents").withColumn(
+            "payload",
+            F.concat(
+                F.unhex(magic_hex),
+                F.encode(F.col("text").substr(1, 32), "utf-8"),
+            ),
+        )
+        return docs.select("doc_id", sniff_mime_expr("payload").alias("mime"))
+
     def stratified_sample_lang(spark, sf):
         # deterministic per-language downsampling (materializes source_mix)
         from go_crawler_spark.operators.corpus_prep import stratified_sample
@@ -1193,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "recrawl_due": recrawl_due,
         "url_strip_tracking": url_strip_tracking,
+        "mime_sniff": mime_sniff,
         "stratified_sample_lang": stratified_sample_lang,
         "tpch_pricing_summary": tpch_pricing_summary,
         "revenue_by_priority": revenue_by_priority,
@@ -1989,6 +2017,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base || '?' || array_to_string(kept, '&') END
                        AS clean_url
             FROM t
+        """,
+        "mime_sniff": """
+            WITH u AS (
+              SELECT doc_id,
+                     unhex(CASE WHEN doc_id % 10 = 0 THEN '89504E470D0A1A0A'
+                                WHEN doc_id % 10 = 1 THEN 'FFD8FFE0'
+                                WHEN doc_id % 10 = 2 THEN '47494638'
+                                WHEN doc_id % 10 = 3 THEN '25504446'
+                                WHEN doc_id % 10 = 4 THEN '5249464658585858574156450000'
+                                WHEN doc_id % 10 = 5 THEN '524946465858585857454250'
+                                WHEN doc_id % 10 = 6 THEN '3C68746D6C3E'
+                                WHEN doc_id % 10 = 7 THEN '494433'
+                                WHEN doc_id % 10 = 8 THEN '1F8B08'
+                                ELSE '00112233' END)
+                     || encode(substring(text, 1, 32)) AS payload
+              FROM documents
+            ), h AS (
+              SELECT doc_id, substring(hex(payload), 1, 24) AS hx FROM u
+            )
+            SELECT doc_id,
+                   CASE WHEN hx LIKE '52494646%' AND substring(hx, 17, 8) = '57415645'
+                            THEN 'audio/wav'
+                        WHEN hx LIKE '52494646%' AND substring(hx, 17, 8) = '57454250'
+                            THEN 'image/webp'
+                        WHEN hx LIKE '89504E47%' THEN 'image/png'
+                        WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+                        WHEN hx LIKE '47494638%' THEN 'image/gif'
+                        WHEN hx LIKE '25504446%' THEN 'application/pdf'
+                        WHEN hx LIKE '494433%' THEN 'audio/mpeg'
+                        WHEN hx LIKE '1F8B%' THEN 'application/gzip'
+                        WHEN hx LIKE '3C%' THEN 'text/html'
+                        ELSE 'application/octet-stream' END AS mime
+            FROM h
         """,
         "stratified_sample_lang": """
             SELECT doc_id, lang FROM documents

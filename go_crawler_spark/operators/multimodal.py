@@ -57,6 +57,47 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_DIM = 32
 
+# ---------------------------------------------------------------------------
+# content-type sniffing (magic bytes, pure JVM)
+# ---------------------------------------------------------------------------
+
+# (hex magic at offset 0, mime) — public well-known signatures; first match
+# wins, longest prefixes listed before shorter ones sharing a stem.
+MAGIC_MIMES = (
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("494433", "audio/mpeg"),     # ID3-tagged mp3
+    ("1F8B", "application/gzip"),
+    ("3C", "text/html"),          # '<' — html/xml-ish text
+)
+
+
+def sniff_mime_expr(payload):
+    """Content-type sniff from leading magic bytes [EXTENSION — asset
+    classification by *content*]. The reference classifies children by the
+    HTML tag that referenced them (`internal/pageparser.go:60-63` builds
+    assets from link/script/img); real crawls also sniff the fetched bytes,
+    since servers lie about extensions and Content-Type. RIFF containers
+    are disambiguated by the format tag at bytes 9–12 (WAVE→wav,
+    WEBP→webp).
+
+    Pure JVM: one `hex(substring(payload, 1, 12))` per row inside
+    whole-stage codegen, then a prefix-match CASE — no Python, no shuffle;
+    only 12 bytes of each (possibly 64 MB) payload are ever inspected.
+    """
+    payload = F.col(payload) if isinstance(payload, str) else payload
+    h = F.hex(F.substring(payload, 1, 12))  # 24 hex chars
+    riff_tag = F.substring(h, 17, 8)
+    expr = (
+        F.when(h.startswith("52494646") & (riff_tag == "57415645"), "audio/wav")
+        .when(h.startswith("52494646") & (riff_tag == "57454250"), "image/webp")
+    )
+    for magic, mime in MAGIC_MIMES:
+        expr = expr.when(h.startswith(magic), mime)
+    return expr.otherwise("application/octet-stream")
+
 
 def _pil_image():
     """Import seam for the optional codec dependency."""

@@ -207,3 +207,31 @@ def test_strip_tracking_params_golden(spark):
     }
     for url, expect in STRIP_CASES:
         assert got[url] == expect, url
+
+
+# ---------------------------------------------------------------------------
+# MIME sniff (magic bytes)
+# ---------------------------------------------------------------------------
+
+def test_sniff_mime_edges(spark):
+    from go_crawler_spark.operators.multimodal import sniff_mime_expr
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"data", "image/png"),
+        (2, b"RIFFxxxxWAVEfmt ", "audio/wav"),
+        (3, b"RIFFxxxxWEBPVP8 ", "image/webp"),
+        (4, b"RIFFxxxx", "application/octet-stream"),  # truncated RIFF, no tag
+        (5, b"<html><body>", "text/html"),
+        (6, b"", "application/octet-stream"),           # empty payload
+        (7, b"\xff", "application/octet-stream"),       # 1 byte, not FFD8FF
+        (8, b"\xff\xd8\xff", "image/jpeg"),             # exactly the magic
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "id long, payload binary"
+    )
+    got = {
+        r["id"]: r["mime"]
+        for r in df.select("id", sniff_mime_expr("payload").alias("mime")).collect()
+    }
+    for i, _, expect in rows:
+        assert got[i] == expect, i
