@@ -861,6 +861,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", strip_tracking_params_expr("url").alias("clean_url")
         )
 
+    def robots_sitemaps(spark, sf):
+        # Sitemap: discovery from robots.txt (group-independent record) —
+        # bridges the robots tier to the sitemap seed source
+        from go_crawler_spark.functions.robots import robots_sitemap_refs
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        body = F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit("Sitemap: https://"), F.col("source"),
+                    F.lit("-site.org/sitemap.xml\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit("sitemap:   https://"), F.col("source"),
+                    F.lit("-site.org/sm/"), ds, F.lit(".xml   # index\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("Allow: /\n"),
+        )
+        robots = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), ds).alias("host"), body.alias("body")
+        )
+        return robots_sitemap_refs(robots)
+
     def mime_sniff(spark, sf):
         # classify fetched payloads by magic bytes (servers lie about
         # Content-Type); synthetic payload = known magic + text bytes
@@ -1220,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "recrawl_due": recrawl_due,
         "url_strip_tracking": url_strip_tracking,
+        "robots_sitemaps": robots_sitemaps,
         "mime_sniff": mime_sniff,
         "stratified_sample_lang": stratified_sample_lang,
         "tpch_pricing_summary": tpch_pricing_summary,
@@ -2017,6 +2048,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base || '?' || array_to_string(kept, '&') END
                        AS clean_url
             FROM t
+        """,
+        "robots_sitemaps": """
+            WITH r AS (
+              SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                     'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          'Sitemap: https://' || source || '-site.org/sitemap.xml' || chr(10)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN
+                          'sitemap:   https://' || source || '-site.org/sm/'
+                          || CAST(doc_id AS VARCHAR) || '.xml   # index' || chr(10)
+                        ELSE '' END
+                     || 'Allow: /' || chr(10) AS body
+              FROM documents
+            ), l AS (
+              SELECT host,
+                     trim(regexp_replace(unnest(string_split_regex(body, '\\r?\\n')),
+                                         '#.*$', '')) AS line
+              FROM r
+            )
+            SELECT host,
+                   trim(regexp_replace(line, '^(?i)sitemap\\s*:\\s*', '')) AS sitemap_url
+            FROM l
+            WHERE regexp_matches(line, '^(?i)sitemap\\s*:')
+              AND length(trim(regexp_replace(line, '^(?i)sitemap\\s*:\\s*', ''))) > 0
         """,
         "mime_sniff": """
             WITH u AS (

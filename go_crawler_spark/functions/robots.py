@@ -116,6 +116,35 @@ def parse_robots_body(body: str) -> List[Tuple[str, bool, str]]:
     return rules
 
 
+def robots_sitemap_refs(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``Sitemap:`` discovery from robots.txt bodies (sitemaps.org
+    protocol; RFC 9309 treats it as an "other record" — group-independent,
+    so no User-agent state is needed and, unlike the rules parser above,
+    the whole extraction is **pure JVM**: split lines → strip ``#``
+    comments (same convention as ``parse_robots_body``) → keep
+    case-insensitive ``sitemap:`` lines → take the value. One map-only
+    pass inside whole-stage codegen; the discovered URLs feed
+    ``sources/sitemap.py`` (index → sitemaps → S1 seed URLs).
+
+    Returns (host, sitemap_url), one row per directive; hosts whose
+    robots.txt names no sitemap produce no rows.
+    """
+    lines = F.split(F.col(body_col), r"\r?\n")
+    cleaned = F.transform(
+        lines, lambda l: F.trim(F.regexp_replace(l, "#.*$", ""))
+    )
+    sm = F.filter(cleaned, lambda l: l.rlike(r"(?i)^sitemap\s*:"))
+    urls = F.transform(
+        sm, lambda l: F.trim(F.regexp_replace(l, r"(?i)^sitemap\s*:\s*", ""))
+    )
+    return (
+        df.select(F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url"))
+        .filter(F.length("sitemap_url") > 0)
+    )
+
+
 def parse_crawl_delays_body(body: str) -> List[Tuple[str, float]]:
     """``(agent, delay_seconds)`` per group carrying a ``Crawl-delay``
     directive (non-standard but near-universal; Googlebot ignores it,

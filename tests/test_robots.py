@@ -224,3 +224,26 @@ class TestCrawlDelay:
             ).collect()
         }
         assert fb == {"a.com": 24, "b.com": 1}
+
+
+def test_robots_sitemap_refs_edges(spark):
+    from go_crawler_spark.functions.robots import robots_sitemap_refs
+
+    body = (
+        "User-agent: *\r\n"
+        "Disallow: /private\r\n"
+        "Sitemap: https://a.example/s1.xml\r\n"
+        "SITEMAP:https://a.example/s2.xml   # no space + comment\r\n"
+        "sitemap:\r\n"              # empty value -> dropped
+        "# Sitemap: https://a.example/commented.xml\r\n"  # whole-line comment
+        "Allow: /\r\n"
+    )
+    df = spark.createDataFrame([("a.example", body), ("b.example", "Allow: /\n")],
+                               ["host", "body"])
+    got = sorted(
+        (r["host"], r["sitemap_url"]) for r in robots_sitemap_refs(df).collect()
+    )
+    assert got == [
+        ("a.example", "https://a.example/s1.xml"),
+        ("a.example", "https://a.example/s2.xml"),
+    ]
