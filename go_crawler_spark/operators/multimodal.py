@@ -91,7 +91,10 @@ def sniff_mime_expr(payload):
     h = F.hex(F.substring(payload, 1, 12))  # 24 hex chars
     riff_tag = F.substring(h, 17, 8)
     expr = (
-        F.when(h.startswith("52494646") & (riff_tag == "57415645"), "audio/wav")
+        # NULL payload (fetch miss / skipped download) → NULL mime, not a
+        # false octet-stream classification
+        F.when(payload.isNull(), F.lit(None).cast("string"))
+        .when(h.startswith("52494646") & (riff_tag == "57415645"), "audio/wav")
         .when(h.startswith("52494646") & (riff_tag == "57454250"), "image/webp")
     )
     for magic, mime in MAGIC_MIMES:

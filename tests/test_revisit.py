@@ -225,6 +225,7 @@ def test_sniff_mime_edges(spark):
         (6, b"", "application/octet-stream"),           # empty payload
         (7, b"\xff", "application/octet-stream"),       # 1 byte, not FFD8FF
         (8, b"\xff\xd8\xff", "image/jpeg"),             # exactly the magic
+        (9, None, None),                                # fetch miss -> NULL mime
     ]
     df = spark.createDataFrame(
         [(i, p) for i, p, _ in rows], "id long, payload binary"
