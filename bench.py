@@ -33,9 +33,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def make_spark(cpus: int):
+def heap_gb_for_round(n_pages: int) -> int:
+    """Heap sized to the ROUND's working set (broadcast frontier + per-task
+    scan/Arrow/write buffers), measured floor points on this box:
+    120k pages ran on 12g, 300k on 16g, 600k needed 24g (16g hit 'GC
+    overhead limit exceeded' at local[32]); while an oversized 48g heap
+    ran the parse stage ~3× SLOWER than 12g (see BENCH/BASELINE.md,
+    JVM-sizing section). Linear-ish in round size with safety margin,
+    capped well below the pathological region."""
+    return max(12, min(32, 8 + n_pages // 40_000))
+
+
+def make_spark(cpus: int, heap_gb: int | None = None):
     from pyspark.sql import SparkSession
 
+    mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{heap_gb}g" if heap_gb else "16g"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("go-crawler-spark-bench")
@@ -51,16 +65,15 @@ def make_spark(cpus: int):
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         # single-JVM local mode: the driver heap IS the executor heap.
         # Page content deliberately never lands on the heap (no corpus /
-        # hits caches — see frontier_round_bench), so the live set is small;
-        # size the heap to the WORKING SET, not the box. Measured on this
-        # host (2×2 interleaved reps, local[16], 120k-page frontier round):
-        # a 48g heap ran the parse stage at 74-89s vs 24-30s with 12g —
-        # the sprawling heap inflates JVM CPU ~3× (TLB/cache pressure on
-        # every scan/Arrow/write access), while 12g comfortably holds
-        # broadcasts + shuffle buffers. ParallelGC replaces G1: across 6
+        # hits caches — see frontier_round_bench), so size the heap to the
+        # WORKING SET, not the box (see heap_gb_for_round). Measured here
+        # (2×2 interleaved reps, local[16], 120k-page frontier round): a
+        # 48g heap ran the parse stage at 74-89s vs 24-30s with 12g — the
+        # sprawling heap inflates JVM CPU ~3× (TLB/cache pressure on every
+        # scan/Arrow/write access). ParallelGC replaces G1: across 6
         # local[32] reps G1 hit a 95-103s slow mode 3 times; ParallelGC
         # stayed in 51-69s (smaller barrier overhead, compact young gen).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -291,7 +304,7 @@ SCALING_PAGES = 600_000
 def _frontier_level_main(cpus: int, corpus_path: str, n_pages: int) -> None:
     """Subprocess entry: one frontier-round run at one parallelism level.
     Fresh process per level ⇒ no warm-JVM/JIT asymmetry between levels."""
-    spark = make_spark(cpus)
+    spark = make_spark(cpus, heap_gb=heap_gb_for_round(n_pages))
     spark.sparkContext.setLogLevel("ERROR")
     try:
         fr = frontier_round_bench(spark, cpus, n_pages=n_pages, corpus_path=corpus_path)
@@ -453,11 +466,12 @@ def scaling_report(sf_dir: str) -> None:
         "heap (2×2 interleaved reps at local[16]: 74-89s parse with 48g vs",
         "24-30s with 12g — TLB/cache pressure from a sprawling live set,",
         "bimodal across JVM launches from page-placement luck). bench.py",
-        "now sizes the heap to the working set (12g; page bytes never land",
-        "on the heap by design) and uses ParallelGC (across 6 local[32]",
-        "reps, G1 fell into a 95-103s slow mode 3 times; ParallelGC stayed",
-        "in 51-69s). Cluster reading: size executor heaps to their working",
-        "set, not the machine.",
+        "now sizes the heap to the round's working set (heap_gb_for_round:",
+        "12g at 120k pages … 23g at 600k — 16g OOM'd at 600k×local[32],",
+        "while page bytes never land on the heap by design) and uses",
+        "ParallelGC (across 6 local[32] reps, G1 fell into a 95-103s slow",
+        "mode 3 times; ParallelGC stayed in 51-69s). Cluster reading: size",
+        "executor heaps to their working set, not the machine.",
         "",
         "Phase seconds (best rep):",
         "",
