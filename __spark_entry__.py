@@ -861,6 +861,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url", strip_tracking_params_expr("url").alias("clean_url")
         )
 
+    def domain_census(spark, sf):
+        # per-domain frontier planning rollup (doc counts, volume, size
+        # percentiles). Exact `percentile` here so DuckDB's quantile_cont
+        # can value-check it; the 100 TB path swaps in approx_percentile
+        # (t-digest sketch, map-side mergeable) with the same plan shape.
+        docs = _t(spark, sf, "documents")
+        return docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        )
+
     def robots_sitemaps(spark, sf):
         # Sitemap: discovery from robots.txt (group-independent record) —
         # bridges the robots tier to the sitemap seed source
@@ -1251,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_due": recrawl_due,
         "url_strip_tracking": url_strip_tracking,
         "robots_sitemaps": robots_sitemaps,
+        "domain_census": domain_census,
         "mime_sniff": mime_sniff,
         "stratified_sample_lang": stratified_sample_lang,
         "tpch_pricing_summary": tpch_pricing_summary,
@@ -2048,6 +2062,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base || '?' || array_to_string(kept, '&') END
                        AS clean_url
             FROM t
+        """,
+        "domain_census": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+            FROM documents GROUP BY source
         """,
         "robots_sitemaps": """
             WITH r AS (
