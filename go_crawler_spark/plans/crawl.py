@@ -381,6 +381,72 @@ def resume_crawl(
     )
 
 
+def compact_enqueue_log(
+    spark: SparkSession,
+    workdir: str,
+    cfg: CrawlConfig,
+    buckets: Optional[int] = None,
+) -> int:
+    """Checkpoint maintenance [EXTENSION — 10^10-URL housekeeping]: merge
+    the per-round ``enqueue_N`` seen-log deltas into a single
+    ``enqueue_0`` table, hash-bucketed on ``xxhash64(url)``.
+
+    Why it matters at scale: the crawl appends one enqueue delta per
+    round, and both the per-round seen anti-join and ``resume_crawl``
+    union-scan ALL of them — after thousands of rounds that is thousands
+    of small tables (file-listing cost, tiny files, no bucket locality).
+    Compaction is the log-structured-merge answer: row-identical, one
+    table, ``buckets`` partitions aligned with the frontier's
+    ``xxhash64(url)`` layout so the anti-join's shuffle can be elided by
+    a storage-partitioned join. With the Iceberg backend the replace is
+    a snapshot commit (rollback stays available); with the parquet
+    backend it is the same staged-write + atomic-rename as every other
+    checkpoint write.
+
+    Run on a QUIESCENT checkpoint only (no crawl in flight). Torn
+    artifacts of an interrupted round are pruned first — the same
+    manifest-driven rule ``resume_crawl`` applies — so compacting a
+    crashed workdir is safe and resume-after-compact equals
+    resume-without-compact (pinned by tests/test_resume.py).
+
+    Returns the number of delta tables that were merged away.
+    """
+    from go_crawler_spark.tableio import make_tableio
+
+    io = make_tableio(spark, workdir, cfg.table_backend,
+                      cfg.iceberg_catalog, cfg.iceberg_namespace)
+    man = io.get_manifest()
+    if man is None:
+        raise FileNotFoundError(f"no crawl manifest in {workdir}")
+    rnd = man["round"] + 1
+    io.cleanup_staging()
+    for name in io.list_names():
+        for prefix, first_stale in (("fetched_", rnd), ("blocked_", rnd),
+                                    ("enqueue_", rnd + 1)):
+            if name.startswith(prefix):
+                try:
+                    num = int(name[len(prefix):])
+                except ValueError:
+                    continue
+                if num >= first_stale:
+                    io.delete_stale(name)
+
+    names = io.list_names("enqueue_")
+    if len(names) <= 1:
+        return 0
+    n_buckets = buckets or cfg.frontier_buckets
+    merged = io.read(*names).repartition(
+        n_buckets, F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+    )
+    # staged write + atomic publish: the inputs (including the old
+    # enqueue_0) are still readable while the merged copy materializes
+    io.write(merged, "enqueue_0", cfg.retry)
+    for name in names:
+        if name != "enqueue_0":
+            io.delete(name)
+    return len(names) - 1
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,

@@ -64,6 +64,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--output", default="./crawl_out",
                    help="output dir (CRAWLER_OUTPUT_DIR)")
     p.add_argument("--resume", help="workdir of an interrupted crawl")
+    p.add_argument("--compact", help="workdir whose per-round enqueue "
+                   "deltas to merge into one bucketed seen table "
+                   "(checkpoint maintenance; exits after compacting)")
     p.add_argument("--max-rounds", type=int, default=1000)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p.parse_args(argv)
@@ -134,6 +137,13 @@ def main(argv=None) -> None:
                     parse_crawl_delays(robots), args.round_seconds
                 )
             robots = parse_robots_rules(robots)
+
+    if args.compact:
+        from go_crawler_spark.plans.crawl import compact_enqueue_log
+
+        merged = compact_enqueue_log(spark, args.compact, cfg)
+        print(f"compacted: {merged} enqueue delta tables merged into enqueue_0")
+        return
 
     if args.resume:
         res = resume_crawl(spark, pages, cfg, args.resume,

@@ -60,3 +60,33 @@ def test_resume_cleans_torn_round(spark, pages_df):
 
     resumed = resume_crawl(spark, pages_df, cfg, wd)
     assert _tables(resumed) == _tables(full)
+
+
+def test_compact_then_resume_equals_uninterrupted(spark, pages_df):
+    """Merging the per-round enqueue deltas into one bucketed table is
+    row-identical: resume after compaction reproduces the uninterrupted
+    crawl, including from a torn (crashed mid-round) checkpoint."""
+    from go_crawler_spark.plans.crawl import compact_enqueue_log
+    from go_crawler_spark.tableio import make_tableio
+
+    cfg = CrawlConfig(max_count=40, host_slots_per_round=3)
+    full = run_crawl(spark, pages_df, default_seeds(), cfg)
+
+    wd = tempfile.mkdtemp(prefix="compact_")
+    run_crawl(spark, pages_df, default_seeds(), cfg, workdir=wd, max_rounds=2)
+    # simulate a torn round: a fetched_ log for a round whose enqueue
+    # never landed — compaction must discard it like resume does
+    shutil.copytree(os.path.join(wd, "fetched_1"), os.path.join(wd, "fetched_2"))
+
+    merged_away = compact_enqueue_log(spark, wd, cfg)
+    assert merged_away >= 1
+    io = make_tableio(spark, wd, cfg.table_backend)
+    assert io.list_names("enqueue_") == ["enqueue_0"]
+    assert "fetched_2" not in io.list_names("fetched_")
+
+    resumed = resume_crawl(spark, pages_df, cfg, wd)
+    assert _tables(resumed) == _tables(full)
+
+    # second compaction over the resumed rounds is a plain no-fail merge
+    compact_enqueue_log(spark, wd, cfg)
+    assert io.list_names("enqueue_") == ["enqueue_0"]
