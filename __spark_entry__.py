@@ -1208,7 +1208,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    # NOTE on ordering: the driver's correctness gate checks the FIRST 50
+    # dict entries in insertion order. Round 2 left 19 entries past that
+    # window with no driver hash row ever (incl. the flagship crawl), and 3
+    # entries red on a DuckDB HUGEINT→float64 type artifact (fixed this
+    # round). So: never-driver-checked entries first, then the 3 fixed ones,
+    # then previously-green entries in original order (the long-green tail
+    # rotates past 50; it stays verifiable via tools/oracle_check.py, which
+    # always runs all entries).
     return {
+        # -- 19 entries with no driver hash row in r1/r2 (were pos 51-69) --
+        "crawl_flagship": crawl_flagship,
+        "crawl_extract_children": crawl_extract_children,
+        "minhash_near_dup_pairs": minhash_near_dup_pairs,
+        "simhash_near_dup_pairs": simhash_near_dup_pairs,
+        "neardup_components": neardup_components,
+        "embedding_ann_ivf": embedding_ann_ivf,
+        "streaming_host_metrics": streaming_host_metrics,
+        "multimodal_features": multimodal_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "url_blocklist_gate": url_blocklist_gate,
+        "crawl_snapshot_diff": crawl_snapshot_diff,
+        "recrawl_due": recrawl_due,
+        "url_strip_tracking": url_strip_tracking,
+        "robots_sitemaps": robots_sitemaps,
+        "domain_census": domain_census,
+        "mime_sniff": mime_sniff,
+        "stratified_sample_lang": stratified_sample_lang,
+        "tpch_pricing_summary": tpch_pricing_summary,
+        "revenue_by_priority": revenue_by_priority,
+        # -- 3 entries red in r2 on HUGEINT cast only, fixed this round --
+        "embedding_lsh_recall": embedding_lsh_recall,
+        "ann_ivf_recall": ann_ivf_recall,
+        "events_sessionization": events_sessionization,
+        # -- previously driver-green (r2), original order --
         "dedup_exact_keep_min": dedup_exact_keep_min,
         "seen_anti_join": seen_anti_join,
         "budget_ordered_limit": budget_ordered_limit,
@@ -1237,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "boilerplate_ngrams": boilerplate_ngrams,
         "chunk_dedup_clean": chunk_dedup_clean,
+        # ---- driver window (50) ends here; tail is r2-green rotation ----
         "decontaminate_corpus": decontaminate_corpus,
         "hash_split_assign": hash_split_assign,
         "pack_sequences_bins": pack_sequences_bins,
@@ -1255,29 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pair_sims": embedding_pair_sims,
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
-        "embedding_lsh_recall": embedding_lsh_recall,
-        "ann_ivf_recall": ann_ivf_recall,
-        "events_sessionization": events_sessionization,
         "surt_keys": surt_keys,
-        "url_blocklist_gate": url_blocklist_gate,
-        "crawl_snapshot_diff": crawl_snapshot_diff,
-        "recrawl_due": recrawl_due,
-        "url_strip_tracking": url_strip_tracking,
-        "robots_sitemaps": robots_sitemaps,
-        "domain_census": domain_census,
-        "mime_sniff": mime_sniff,
-        "stratified_sample_lang": stratified_sample_lang,
-        "tpch_pricing_summary": tpch_pricing_summary,
-        "revenue_by_priority": revenue_by_priority,
-        "crawl_flagship": crawl_flagship,
-        "crawl_extract_children": crawl_extract_children,
-        "minhash_near_dup_pairs": minhash_near_dup_pairs,
-        "neardup_components": neardup_components,
-        "simhash_near_dup_pairs": simhash_near_dup_pairs,
-        "embedding_ann_ivf": embedding_ann_ivf,
-        "streaming_host_metrics": streaming_host_metrics,
-        "multimodal_features": multimodal_features,
-        "multimodal_frame_sample": multimodal_frame_sample,
     }
 
 
@@ -1948,9 +1960,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), s AS (
               SELECT user_id, value, ts,
-                     sum(new_session) OVER (
+                     CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id,
@@ -2275,7 +2287,8 @@ def oracle_sql() -> dict[str, str]:
               JOIN ev eb ON p.id_b = eb.vec_id
               WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4)
             SELECT count(*) AS n_exact,
-                   sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+                   CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_found,
                    round(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                          / count(*), 6) AS recall
             FROM ex e LEFT JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
@@ -2309,7 +2322,8 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings q ON c.query_id = q.vec_id
               ) WHERE rank <= 5)
             SELECT count(*) AS n_exact,
-                   sum(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+                   CAST(sum(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_found,
                    round(sum(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                          / count(*), 6) AS recall
             FROM bf b LEFT JOIN iv i
