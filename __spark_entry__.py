@@ -2002,8 +2002,10 @@ def oracle_sql() -> dict[str, str]:
                         '@')[-1], ':')[1]), '\\.$', '') AS host
                   FROM u),
             r AS (SELECT doc_id, host,
-                    string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
-                        AS registrable
+                    CASE WHEN len(string_split(host, '.')) >= 2
+                         THEN string_split(host, '.')[-2] || '.'
+                              || string_split(host, '.')[-1]
+                         ELSE host END AS registrable
                   FROM h)
             SELECT doc_id, host,
                    registrable IN ('src3-site.org', 'src7-site.org',

@@ -159,7 +159,11 @@ def _burn(n: int) -> int:
 
 
 def frontier_round_bench(
-    spark, cpus: int, n_pages: int = 120_000, corpus_path: str | None = None
+    spark,
+    cpus: int,
+    n_pages: int = 120_000,
+    corpus_path: str | None = None,
+    cache_corpus: bool = False,
 ) -> dict:
     """North-rule throughput metric: ONE giant frontier batch through the
     full round pipeline — distributed seed scheduling (dedup + budget +
@@ -183,14 +187,18 @@ def frontier_round_bench(
     from go_crawler_spark.plans.crawl import run_crawl
 
     if corpus_path:
-        # do NOT cache(): the corpus already sits in tmpfs parquet (RAM-
-        # speed columnar scan, column-pruned). A deserialized on-heap cache
-        # turns ~2 GB of compressed columns into ~10 GB of live objects the
-        # GC walks on every cycle — measured ~3 extra cores of GC and a
-        # 1.5-2× fetch_extract slowdown at 300k pages. Re-scanning parquet
-        # per round is the same trade a real cluster makes against a
-        # distributed store.
+        # cache_corpus picks the corpus access path; both measured at both
+        # scales (BENCH/BASELINE.md "Headline protocol A/B"):
+        # - True (headline, 120k pages): on-heap cache fits a working-set
+        #   heap and wins — median 31.0 s vs 42.9 s, and far stabler.
+        # - False (scaling, 600k pages): ~6.6 GB of raw html would become
+        #   tens of GB of live Java strings, exactly the oversized-heap
+        #   regime the JVM-sizing section shows running 3x slower; the
+        #   column-pruned tmpfs re-scan is the same trade a real cluster
+        #   makes against a distributed store.
         pages = spark.read.parquet(corpus_path)
+        if cache_corpus:
+            pages = pages.cache()
     else:
         # generated corpus: cache is mandatory (regeneration is python CPU)
         pages = generate_pages_df(
@@ -266,25 +274,49 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+_HEADLINE_GEN = {"seed": 42, "branching": 16, "words": (800, 1600)}
+
+
+def _headline_corpus(spark, n_pages: int) -> str:
+    """Materialize (once) the headline synthetic corpus to tmpfs parquet.
+    Cache key includes every datagen parameter so a parameter change can
+    never silently reuse a stale corpus."""
+    g = _HEADLINE_GEN
+    corpus = os.path.join(
+        _fast_tmp(),
+        f"bench_headline_corpus_{n_pages}_s{g['seed']}_b{g['branching']}"
+        f"_w{g['words'][0]}-{g['words'][1]}.parquet",
+    )
+    if not os.path.isdir(corpus):
+        from go_crawler_spark.datagen import generate_pages_df
+
+        generate_pages_df(spark, n_pages, **g).write.mode("overwrite").parquet(corpus)
+    return corpus
+
+
 def bench_once(cpus: int, sf_dir: str) -> dict:
-    spark = make_spark(cpus)
+    # heap sized to the frontier round's working set (12g at 120k pages) —
+    # the JVM-sizing finding applies to the headline run too; the 16g env
+    # default measurably slows the parse stage (BENCH/BASELINE.md)
+    spark = make_spark(cpus, heap_gb=heap_gb_for_round(120_000))
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        # materialize the synthetic corpus to tmpfs parquet (untimed) and
-        # SCAN it, exactly like the scaling protocol — an on-heap .cache()
-        # of the corpus puts ~2 GB of live strings on the heap and measured
-        # 1.5-2× slower parse stages + 3-4× slower seed scheduling than the
-        # column-pruned tmpfs re-scan (the "no page bytes on the heap"
-        # design rule applies to the harness too)
+        # corpus generated once to tmpfs parquet (untimed), then CACHED
+        # on-heap for the timed round. Settled by a measured A/B at this
+        # exact configuration (tools/bench_ab.py, 3 interleaved reps/arm,
+        # local[32], 120k pages, 12g heap — BENCH/BASELINE.md "Headline
+        # protocol A/B"): cache median 31.0 s (30.9-33.9) vs tmpfs-scan
+        # median 42.9 s (32.4-61.1); the scan arm re-pays the corpus read
+        # in every phase and is far noisier. The round-2 commit that
+        # switched the headline to scan extrapolated from 300k-page/
+        # local[16] probes where the cache no longer fits a working-set
+        # heap — at THAT scale scan wins, which is why the 600k-page
+        # scaling protocol keeps scanning (see scaling_report).
         n_pages = 120_000
-        corpus = os.path.join(_fast_tmp(), f"bench_headline_corpus_{n_pages}.parquet")
-        if not os.path.isdir(corpus):
-            from go_crawler_spark.datagen import generate_pages_df
-
-            generate_pages_df(
-                spark, n_pages, seed=42, branching=16, words=(800, 1600)
-            ).write.mode("overwrite").parquet(corpus)
-        fr = frontier_round_bench(spark, cpus, n_pages=n_pages, corpus_path=corpus)
+        corpus = _headline_corpus(spark, n_pages)
+        fr = frontier_round_bench(
+            spark, cpus, n_pages=n_pages, corpus_path=corpus, cache_corpus=True
+        )
         crawl = crawl_bench(spark, sf_dir, cpus)
         qtimes = run_queries(spark, sf_dir)
     finally:
@@ -315,13 +347,21 @@ def bench_once(cpus: int, sf_dir: str) -> dict:
 SCALING_PAGES = 600_000
 
 
-def _frontier_level_main(cpus: int, corpus_path: str, n_pages: int) -> None:
+def _frontier_level_main(
+    cpus: int, corpus_path: str, n_pages: int, cache_corpus: bool = False
+) -> None:
     """Subprocess entry: one frontier-round run at one parallelism level.
-    Fresh process per level ⇒ no warm-JVM/JIT asymmetry between levels."""
+    Fresh process per level ⇒ no warm-JVM/JIT asymmetry between levels.
+    ``cache_corpus`` switches the corpus access path from tmpfs-parquet
+    re-scan to an on-heap .cache() — the A/B axis of the headline-protocol
+    reconciliation (BENCH/BASELINE.md)."""
     spark = make_spark(cpus, heap_gb=heap_gb_for_round(n_pages))
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        fr = frontier_round_bench(spark, cpus, n_pages=n_pages, corpus_path=corpus_path)
+        fr = frontier_round_bench(
+            spark, cpus, n_pages=n_pages, corpus_path=corpus_path,
+            cache_corpus=cache_corpus,
+        )
     finally:
         spark.stop()
     print("FRONTIER_RESULT " + json.dumps(
@@ -487,6 +527,29 @@ def scaling_report(sf_dir: str) -> None:
         "mode 3 times; ParallelGC stayed in 51-69s). Cluster reading: size",
         "executor heaps to their working set, not the machine.",
         "",
+        "## Headline protocol A/B (round-3 reconciliation)",
+        "",
+        "Round 2's last commit switched the 120k-page headline frontier",
+        "round from an on-heap corpus .cache() to a tmpfs-parquet re-scan,",
+        "claiming 2-4x faster; the driver then measured the headline 1.8x",
+        "SLOWER. Settled by tools/bench_ab.py at the driver's exact",
+        "configuration (local[32], 120k pages, heap_gb_for_round=12g,",
+        "fresh process per rep, 3 INTERLEAVED reps per arm so",
+        "JVM-placement luck cannot land on one arm):",
+        "",
+        "| arm | secs (3 reps) | median | median fetch_extract |",
+        "|---|---|---|---|",
+        "| tmpfs scan | 61.1 / 42.9 / 32.4 | 42.9 | 29.0 |",
+        "| on-heap cache | 33.9 / 31.0 / 31.0 | 31.0 | 10.5 |",
+        "",
+        "At 120k pages the cache fits a working-set heap and wins (and is",
+        "far stabler); the round-2 commit extrapolated from 300k-page/",
+        "local[16] probes where it no longer fits — at THAT scale scan",
+        "wins, so the 600k-page scaling protocol keeps scanning. bench.py's",
+        "headline uses cache_corpus=True; part of the round-2 regression",
+        "was also bench_once running at the 16g env-default heap instead",
+        "of the working-set 12g (fixed: heap_gb_for_round in bench_once).",
+        "",
         "Phase seconds (best rep):",
         "",
         "| phase | local[1] | local[4] | local[32] |",
@@ -518,6 +581,7 @@ if __name__ == "__main__":
             int(_argval("--frontier-level")),
             _argval("--corpus"),
             int(_argval("--n-pages", "200000")),
+            cache_corpus="--cache-corpus" in sys.argv,
         )
     elif "--scaling" in sys.argv:
         scaling_report(SF_DIR)

@@ -442,11 +442,18 @@ def strip_tracking_params_expr(url):
 
 def registrable_domain_expr(host):
     """Last two host labels as a JVM Column (``cdn.src3.example.org`` →
-    ``example.org``) — the blocklist/politeness grouping key when a public
+    ``example.org``); a single-label host (``localhost``) is its own
+    registrable key. The blocklist/politeness grouping key when a public
     suffix list is out of scope (documented simplification: two labels,
-    which is exact for the synthetic corpus and for .com/.org style hosts).
+    which is exact for the synthetic corpus and for .com/.org style hosts
+    but OVER-GROUPS under multi-label public suffixes —
+    ``example.co.uk`` → ``co.uk`` — so a blocklist entry on such a suffix
+    would cover unrelated domains; consumers of blocklists on real ccTLD
+    traffic should swap in a PSL-backed key, same join shape).
     Broadcast-joining a blocklist on this key covers every subdomain with
     an equality join — no per-row suffix LIKE scan over 10^10 URLs."""
     host = F.col(host) if isinstance(host, str) else host
     labels = F.split(host, r"\.")
-    return F.array_join(F.slice(labels, -2, 2), ".")
+    return F.when(F.size(labels) >= 2, F.array_join(F.slice(labels, -2, 2), ".")).otherwise(
+        host
+    )

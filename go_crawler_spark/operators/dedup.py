@@ -103,28 +103,68 @@ def _with_hashes(df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def build_bloom(seen: DataFrame, key: str, n_bits: int, n_hashes: int) -> BloomFilter:
-    """Build per partition in Arrow batches, OR-merge on the driver —
-    one pass over ``seen``, driver receives one bitset per partition."""
-    hashed = _with_hashes(seen, key).select("_h1", "_h2")
+def tree_build_filter(df: DataFrame, key: str, proto, fan_in: int = 16):
+    """Build a seen-filter (bloom/cuckoo — anything exposing
+    add_many/merge/fresh) over ``df[key]`` with a TWO-LEVEL TREE merge:
+    every input partition builds its own filter at full parallelism in one
+    Arrow pass, partitions hash into ≤``fan_in`` combiner tasks that merge
+    executor-side, and the driver merges only the ≤fan_in combiner outputs.
+    A flat collect of one pickled filter per partition would push
+    |partitions| × filter-size through the driver — at 10^10-URL scale a
+    useful bloom is GBs and the driver fan-in is the bottleneck; the
+    combiner level is the ``treeAggregate`` pattern expressed as DataFrame
+    ops. Returns a filter of ``proto``'s shape (fresh copy; ``proto`` is
+    not mutated), empty if ``df`` is empty.
 
-    def per_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = BloomFilter(n_bits, n_hashes)
+    This is the ONLY filter builder in the library; the crawl loop's
+    ``plans.crawl._absorb_filter`` delegates here so no flat-collect
+    variant can be wired into a hot path."""
+    import pickle
+
+    hashed = _with_hashes(df, key).select("_h1", "_h2")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        bf = proto.fresh()
         any_rows = False
-        for pdf in it:
-            if len(pdf):
-                any_rows = True
-                bf.add_many(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            bf.add_many(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
         if any_rows:
-            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame({"_comb": [pid % fan_in], "filt": [pickle.dumps(bf)]})
 
-    parts = hashed.mapInPandas(per_partition, "bits binary").collect()
-    merged = BloomFilter(n_bits, n_hashes)
-    for row in parts:
-        merged = merged.merge(
-            BloomFilter(n_bits, n_hashes, np.frombuffer(row["bits"], dtype=np.uint64).copy())
-        )
+    built = hashed.mapInPandas(build, "_comb int, filt binary")
+
+    if hashed.rdd.getNumPartitions() > fan_in:
+
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = None
+            for pdf in batches:
+                for blob in pdf["filt"]:
+                    f = pickle.loads(blob)
+                    acc = f if acc is None else acc.merge(f)
+            if acc is not None:
+                yield pd.DataFrame({"filt": [pickle.dumps(acc)]})
+
+        built = built.repartition(fan_in, "_comb").mapInPandas(combine, "filt binary")
+
+    merged = proto.fresh()
+    for row in built.select("filt").collect():
+        merged = merged.merge(pickle.loads(row["filt"]))
     return merged
+
+
+def build_bloom(
+    seen: DataFrame, key: str, n_bits: int, n_hashes: int, fan_in: int = 16
+) -> BloomFilter:
+    """Build a bloom over ``seen[key]`` via the tree merge (see
+    ``tree_build_filter``; the former flat one-bitset-per-partition
+    driver collect is gone)."""
+    return tree_build_filter(seen, key, BloomFilter(n_bits, n_hashes), fan_in=fan_in)
 
 
 def bloom_prefilter(candidates: DataFrame, filt, key: str) -> DataFrame:

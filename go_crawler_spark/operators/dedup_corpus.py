@@ -25,7 +25,7 @@ DataFrame transform.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -536,7 +536,11 @@ def embedding_near_dups(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``edges``;
     ``component`` = the minimum node id reachable through the edge set.
@@ -545,59 +549,95 @@ def connected_components(
     pair generation: near-dup PAIRS become duplicate GROUPS (keep one
     representative per component, drop the rest).
 
-    Algorithm: min-label propagation — every round each node takes the min
-    of its own label and its neighbors' labels; converges in O(graph
-    diameter) rounds. Near-dup graphs are shallow (clusters of a handful of
-    variants, diameter 2-3), so this is the right default; for adversarial
-    high-diameter graphs at 10^10 nodes, the round body swaps for the
-    large-star/small-star step of Kiveris et al. 2014 ("Connected
-    Components in MapReduce and Beyond", public paper) under the same
-    driver loop.
+    Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — public paper).
+    Each round rewires the edge set toward star graphs rooted at each
+    component's minimum id:
 
-    Scale shape: each round is one shuffle keyed on node id over
-    ``(node, label)`` longs — never document content. ``localCheckpoint``
-    cuts lineage each round (otherwise round k re-executes rounds 1..k-1),
-    and the convergence probe is a bounded count, not a collect.
+    - large-star (over the symmetric view): every node ``u`` points each
+      STRICTLY LARGER neighbor at ``min(Γ(u) ∪ {u})``;
+    - small-star (over the larger→smaller canonical view): every node
+      ``u`` points its smaller neighbors AND ITSELF at
+      ``min(Γ(u) ∪ {u})``.
+
+    Round count is O(log² n) in the WORST case and independent of graph
+    diameter — the reason this replaced plain min-label propagation, whose
+    O(diameter) rounds melt on the long chains web near-dup graphs grow
+    (a 2^12-node path converges here in ~4 rounds where propagation needs
+    4096; pinned by tests/test_linkgraph.py::test_path_graph_log_rounds).
+    Shallow LSH-cluster graphs (diameter 2-3) still converge in 2-3
+    rounds, so nothing is lost at the common case.
+
+    Scale shape: each round shuffles only ``(long, long)`` edge pairs
+    keyed on node id — never document content; the edge set shrinks
+    toward one edge per non-root node. ``localCheckpoint`` cuts lineage
+    each round (otherwise round k re-executes rounds 1..k-1).
+    Convergence probe: count + ``bit_xor(xxhash64(u,v))`` fingerprint
+    (bounded aggregate, no collect), confirmed exactly with one
+    ``exceptAll`` on the matching round only.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)  # rescanned every round
-
-    labels = (
-        sym.select(F.col("u").alias("node"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    prev_fp = _fingerprint(e)
+    rounds = 0
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("node").alias("v"), "label"), on="v"
-            )
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-            .select(F.col("u").alias("node"), "nbr_label")
+        rounds += 1
+        # large-star: symmetric neighborhoods, larger neighbors -> min
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m_large = lmin.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_large, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(nbr_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
+        # small-star: canonical larger->smaller, smaller neighbors + self -> min
+        c = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = c.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            c.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "prev"), on="node"
-            )
-            .filter(F.col("label") != F.col("prev"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        fp = _fingerprint(small)
+        if fp == prev_fp and small.exceptAll(e).limit(1).isEmpty():
+            e = small
             break
-    return labels.select("node", F.col("label").alias("component"))
+        e = small
+        prev_fp = fp
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # at the fixed point every edge is (member, component-min); roots and
+    # self-loop-only nodes carry no outgoing edge and label themselves
+    return nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("_comp")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("_comp", F.col("node")).alias("component"))

@@ -85,6 +85,7 @@ from go_crawler_spark.operators.dedup import (
     bloom_prefilter,
     dedup_against_seen,
     first_writer_dedup,
+    tree_build_filter,
 )
 from go_crawler_spark.operators.fetch import fetch_hits, fetch_round
 from go_crawler_spark.operators.politeness import apply_robots, assign_fetch_slots
@@ -284,68 +285,19 @@ def _new_seen_filter(cfg: CrawlConfig):
 
 
 def _absorb_filter(enqueue: DataFrame, filt, fan_in: int = 16):
-    """One pass over an enqueue delta building per-partition seen-filter
-    bitsets (over ALL rows — refused URLs are seen too, queue.go:92-106),
-    merged as a TWO-LEVEL TREE: every input partition builds at full
-    parallelism, partitions hash into ≤``fan_in`` combiner tasks that
-    OR-merge executor-side, and the driver merges only the ≤fan_in
-    combiner outputs. A flat collect of one pickled filter per partition
-    would push |partitions| × filter-size through the driver — at
-    10^10-URL scale a useful bloom is GBs and the driver fan-in is the
-    bottleneck; the combiner level is the ``treeAggregate`` pattern
-    expressed as DataFrame ops. Admission counters ride the enqueue write
+    """Absorb an enqueue delta into the seen filter (over ALL rows —
+    refused URLs are seen too, queue.go:92-106) via the library's two-level
+    tree merge (``operators.dedup.tree_build_filter``: per-partition builds
+    at full parallelism, ≤``fan_in`` executor-side combiners, driver merges
+    only the combiner outputs). Admission counters ride the enqueue write
     as observed metrics (``_admission_aggs``), not this pass.
 
     Returns the merged filter (``filt`` unchanged if the delta is empty),
     or None when filtering is disabled."""
     if filt is None:
         return None
-
-    proto = filt.fresh()
-    hashed = enqueue.select(
-        F.xxhash64("url").alias("_h1"),
-        F.xxhash64("url", F.lit(0x9E3779B9)).alias("_h2"),
-    )
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pickle
-
-        from pyspark import TaskContext
-
-        bf = proto.fresh()
-        any_rows = False
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            any_rows = True
-            bf.add_many(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
-        if any_rows:
-            pid = TaskContext.get().partitionId()
-            yield pd.DataFrame({"_comb": [pid % fan_in], "filt": [pickle.dumps(bf)]})
-
-    built = hashed.mapInPandas(build, "_comb int, filt binary")
-
-    if hashed.rdd.getNumPartitions() > fan_in:
-
-        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import pickle
-
-            acc = None
-            for pdf in batches:
-                for blob in pdf["filt"]:
-                    f = pickle.loads(blob)
-                    acc = f if acc is None else acc.merge(f)
-            if acc is not None:
-                yield pd.DataFrame({"filt": [pickle.dumps(acc)]})
-
-        built = built.repartition(fan_in, "_comb").mapInPandas(combine, "filt binary")
-
-    import pickle
-
-    merged = filt
-    for row in built.select("filt").collect():
-        merged = merged.merge(pickle.loads(row["filt"]))
-    return merged
+    delta = tree_build_filter(enqueue, "url", filt, fan_in=fan_in)
+    return filt.merge(delta)
 
 
 def resume_crawl(
@@ -438,9 +390,14 @@ def compact_enqueue_log(
     merged = io.read(*names).repartition(
         n_buckets, F.pmod(F.xxhash64("url"), F.lit(n_buckets))
     )
-    # staged write + atomic publish: the inputs (including the old
-    # enqueue_0) are still readable while the merged copy materializes
-    io.write(merged, "enqueue_0", cfg.retry)
+    # crash-safe in-place replace (tableio.replace): the merged copy fully
+    # materializes to staging while every input (including the old
+    # enqueue_0) stays readable — so a retry replay still finds its
+    # sources — then commits via rename-aside + rename; a crash at any
+    # point is healed by recover_replaces (run inside cleanup_staging),
+    # so the round-0 seen/admitted log can never be lost. Input deltas
+    # are deleted only after the commit lands.
+    io.replace(merged, "enqueue_0", cfg.retry)
     for name in names:
         if name != "enqueue_0":
             io.delete(name)

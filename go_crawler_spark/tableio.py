@@ -91,6 +91,69 @@ class ParquetTableIO:
         _run_write(df, publish, retry_cfg, observe, obs_out)
         return self.read(name)
 
+    def replace(
+        self,
+        df: DataFrame,
+        name: str,
+        retry_cfg: Optional[RetryConfig] = None,
+    ) -> DataFrame:
+        """Crash-safe IN-PLACE replace of an existing table whose new
+        content is *derived from the old* (compaction). ``write``'s
+        publish (rmtree old, then rename tmp) has a window where neither
+        copy exists — and a crash there would let ``cleanup_staging``
+        delete the ``._tmp`` holding the only merged copy. Here:
+
+        1. stage the full merged copy to ``name._tmp`` (inputs, including
+           the old table, stay readable; the retry wraps ONLY this step,
+           so a replayed plan still finds its sources);
+        2. rename old aside to ``name._old`` (atomic);
+        3. rename ``._tmp`` into place (atomic);
+        4. drop ``._old``.
+
+        Every intermediate state is healed by ``recover_replaces`` (run
+        first inside ``cleanup_staging``): an ``._old`` present means the
+        commit sequence started, and either the new copy (``name`` or a
+        complete ``._tmp``) wins or the old is restored — the table is
+        never lost."""
+        path = self._path(name)
+        tmp, old = path + "._tmp", path + "._old"
+        if os.path.exists(old):  # heal any earlier torn replace first
+            self.recover_replaces()
+
+        def stage(out_df: DataFrame) -> None:
+            out_df.write.mode("overwrite").parquet(tmp)
+
+        _run_write(df, stage, retry_cfg, None, None)
+        # commit sequence: two atomic renames, then cleanup
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return self.read(name)
+
+    def recover_replaces(self) -> None:
+        """Heal torn ``replace`` commits (presence of a ``._old`` dir).
+        Called before staging cleanup so a merged ``._tmp`` that already
+        reached the commit sequence is promoted, not deleted.
+
+        A ``._old`` exists only after the staged copy completed (the
+        rename-aside is the first post-stage step), so whichever of
+        ``name`` / ``._tmp`` is present is a complete merged copy; if
+        neither survived, the old table is restored verbatim."""
+        for d in list(os.listdir(self.workdir)):
+            if not d.endswith("._old"):
+                continue
+            name = d[: -len("._old")]
+            path, old, tmp = self._path(name), self._path(d), self._path(name) + "._tmp"
+            if os.path.exists(path):
+                shutil.rmtree(old)  # crashed after step 3
+            elif os.path.exists(tmp):
+                os.rename(tmp, path)  # crashed between steps 2 and 3
+                shutil.rmtree(old)
+            else:
+                os.rename(old, path)  # staged copy lost: restore the old
+
     def read(self, *names: str) -> DataFrame:
         return self.spark.read.parquet(*(self._path(n) for n in names))
 
@@ -101,7 +164,8 @@ class ParquetTableIO:
         return sorted(
             d
             for d in os.listdir(self.workdir)
-            if d.startswith(prefix) and not d.endswith("._tmp")
+            if d.startswith(prefix)
+            and not d.endswith("._tmp") and not d.endswith("._old")
             and os.path.isdir(self._path(d))
         )
 
@@ -111,15 +175,18 @@ class ParquetTableIO:
             shutil.rmtree(p)
 
     def delete_stale(self, name: str) -> None:
-        """Remove a table AND any torn staging copy of it."""
+        """Remove a table AND any torn staging/rename-aside copy of it."""
         self.delete(name)
-        tmp = self._path(name) + "._tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        for suffix in ("._tmp", "._old"):
+            p = self._path(name) + suffix
+            if os.path.exists(p):
+                shutil.rmtree(p)
 
     def cleanup_staging(self) -> None:
-        """Drop orphaned ``._tmp`` staging dirs (a write that died before
-        its atomic rename)."""
+        """Heal torn ``replace`` commits FIRST (their ``._tmp`` may hold
+        the only copy of a compacted table), then drop orphaned ``._tmp``
+        staging dirs (a plain write that died before its atomic rename)."""
+        self.recover_replaces()
         for d in os.listdir(self.workdir):
             if d.endswith("._tmp"):
                 shutil.rmtree(os.path.join(self.workdir, d), ignore_errors=True)
@@ -185,6 +252,21 @@ class IcebergTableIO:
 
         _run_write(df, publish, retry_cfg, observe, obs_out)
         return self.read(name)
+
+    def replace(
+        self,
+        df: DataFrame,
+        name: str,
+        retry_cfg: Optional[RetryConfig] = None,
+    ) -> DataFrame:
+        """In-place replace: an Iceberg ``createOrReplace`` is an atomic
+        snapshot commit and the self-referencing read resolves against the
+        pre-commit snapshot (data files survive until snapshot expiry), so
+        the plain write path IS already crash-safe here."""
+        return self.write(df, name, retry_cfg)
+
+    def recover_replaces(self) -> None:
+        pass
 
     def read(self, *names: str) -> DataFrame:
         out = None

@@ -67,3 +67,36 @@ def test_connected_components_chain(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_path_graph_log_rounds(spark):
+    """Diameter-independence property (the reason for large-star/
+    small-star): a path graph of 2^10 nodes has diameter 1023 — min-label
+    propagation needs ~1023 rounds, star-contraction must land the exact
+    answer within O(log² n) (we allow 14, still ≪ diameter)."""
+    from go_crawler_spark.operators.dedup_corpus import connected_components
+
+    n = 1 << 10
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    got = connected_components(edges, max_iter=14, stats=stats)
+    agg = got.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("component") != 0).cast("int")).alias("bad"),
+    ).collect()[0]
+    assert agg["n"] == n and agg["bad"] == 0
+    assert stats["rounds"] <= 14
+
+
+def test_components_self_loops_and_isolated(spark):
+    """Self-loop-only nodes keep their own label; duplicate/reversed edges
+    collapse; roots label themselves."""
+    from go_crawler_spark.operators.dedup_corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 1), (1, 2)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {7: 7, 1: 1, 2: 1}

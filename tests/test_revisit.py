@@ -65,11 +65,14 @@ def test_surt_prefix_groups_subdomains(spark):
 
 def test_registrable_domain_expr(spark):
     df = spark.createDataFrame(
-        [("cdn.src3-site.org",), ("src3-site.org",), ("a.b.example.com",)],
+        [("cdn.src3-site.org",), ("src3-site.org",), ("a.b.example.com",),
+         ("localhost",)],
         "host string",
     )
     got = [r[0] for r in df.select(registrable_domain_expr("host")).collect()]
-    assert got == ["src3-site.org", "src3-site.org", "example.com"]
+    # single-label host is its own registrable key (matches the DuckDB
+    # oracle's CASE guard; an unguarded slice(-2,2) returned a partial list)
+    assert got == ["src3-site.org", "src3-site.org", "example.com", "localhost"]
 
 
 # ---------------------------------------------------------------------------

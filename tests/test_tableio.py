@@ -47,6 +47,63 @@ def test_list_delete_and_staging_cleanup(spark, io):
     assert io.list_names("enqueue_") == ["enqueue_0"]
 
 
+def test_replace_inplace_roundtrip(spark, io):
+    io.write(spark.range(10), "enqueue_0")
+    merged = io.read("enqueue_0").withColumn("x", F.col("id") * 2)
+    back = io.replace(merged, "enqueue_0")
+    assert back.count() == 10 and "x" in back.columns
+    # no residue from the commit sequence
+    assert not os.path.exists(os.path.join(io.workdir, "enqueue_0._old"))
+    assert not os.path.exists(os.path.join(io.workdir, "enqueue_0._tmp"))
+
+
+def _torn_state(spark, io, crash_after: str) -> None:
+    """Manufacture each intermediate state of replace's commit sequence:
+    stage -> rename-aside -> rename-in -> drop-old."""
+    io.write(spark.range(5), "enqueue_0")
+    path = os.path.join(io.workdir, "enqueue_0")
+    spark.range(7).write.mode("overwrite").parquet(path + "._tmp")  # staged
+    if crash_after == "stage":
+        return
+    os.rename(path, path + "._old")  # old aside
+    if crash_after == "aside":
+        return
+    os.rename(path + "._tmp", path)  # new in place
+    if crash_after == "rename_in":
+        return
+    raise AssertionError(crash_after)
+
+
+def test_replace_crash_recovery_all_states(spark, io):
+    """ADVICE r2 (medium): a crash mid-replace must never lose the table —
+    in particular cleanup_staging must not delete the ._tmp that holds the
+    only merged copy. Every torn state heals to a complete table."""
+    path = os.path.join(io.workdir, "enqueue_0")
+    for crash_after, want_rows in (
+        ("stage", 5),       # commit never started: old copy wins, tmp dropped
+        ("aside", 7),       # staged copy complete: promoted
+        ("rename_in", 7),   # new copy already in place: old residue dropped
+    ):
+        _torn_state(spark, io, crash_after)
+        io.cleanup_staging()  # resume/compact entry point runs this first
+        assert io.read("enqueue_0").count() == want_rows, crash_after
+        assert not os.path.exists(path + "._old"), crash_after
+        assert not os.path.exists(path + "._tmp"), crash_after
+        assert io.list_names("enqueue_") == ["enqueue_0"], crash_after
+        io.delete_stale("enqueue_0")
+
+
+def test_replace_lost_staging_restores_old(spark, io):
+    """Pathological: ._old exists but both the new table and ._tmp are
+    gone (staging dir removed by an operator) — the old table restores."""
+    path = os.path.join(io.workdir, "enqueue_0")
+    io.write(spark.range(5), "enqueue_0")
+    os.rename(path, path + "._old")
+    io.cleanup_staging()
+    assert io.read("enqueue_0").count() == 5
+    assert not os.path.exists(path + "._old")
+
+
 def test_multi_read_unions(spark, io):
     io.write(spark.range(3), "a_0")
     io.write(spark.range(4), "a_1")
