@@ -217,6 +217,7 @@ def frontier_round_bench(
     cfg = CrawlConfig(
         max_count=4 * n_pages,
         use_bloom=True,
+        bloom_min_seen_rows=0,  # north-rule metric: filter always exercised
         bloom_bits=1 << 23,  # few-% FP at ~1M seen; anti-join confirms anyway
         shuffle_partitions=cpus,
         # the seed table is a projection of the corpus's unique url key —

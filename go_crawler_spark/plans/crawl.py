@@ -129,6 +129,9 @@ def _admission_aggs() -> list:
             ),
             F.lit(0),
         ).alias("pages_admitted"),
+        # total log rows (admitted + refused): drives the adaptive seen-
+        # filter activation gate (cfg.bloom_min_seen_rows) for free
+        F.count(F.lit(1)).alias("n_rows"),
     ]
 
 
@@ -452,8 +455,15 @@ def run_crawl(
             observe=_admission_aggs(), obs_out=stats0,
         )
         release_pending_caches()
-        bloom = _new_seen_filter(cfg)
-        bloom = _absorb_filter(enq0, bloom)
+        # adaptive seen-filter gate: below cfg.bloom_min_seen_rows the
+        # exact anti-join's build side broadcasts and the filter's Arrow
+        # passes are pure overhead; it switches on (built from the full
+        # log, then absorbed incrementally) once the log crosses the
+        # threshold — at 10^10-URL scale that is round 0.
+        seen_rows = int(stats0["n_rows"])
+        bloom = None
+        if seen_rows >= cfg.bloom_min_seen_rows:
+            bloom = _absorb_filter(enq0, _new_seen_filter(cfg))
         t = _tick("seeds", t)
         n_frontier = int(stats0["n_admitted"])
         pages_enqueued = int(stats0["pages_admitted"])
@@ -484,7 +494,12 @@ def run_crawl(
                         io.delete_stale(name)
         seen_names = io.list_names("enqueue_")
         all_enq = io.read(*seen_names)
-        bloom = _absorb_filter(all_enq, _new_seen_filter(cfg))
+        # bounded count (parquet metadata scan) feeding the same adaptive
+        # filter gate the cold-start path uses
+        seen_rows = all_enq.count()
+        bloom = None
+        if seen_rows >= cfg.bloom_min_seen_rows:
+            bloom = _absorb_filter(all_enq, _new_seen_filter(cfg))
         # frontier = admitted ∖ already-fetched (politeness deferral included)
         fetched_names = io.list_names("fetched_")
         admitted_all = all_enq.filter(F.col("admitted")).select(*FRONTIER_COLS)
@@ -634,9 +649,16 @@ def run_crawl(
         t = _tick("enqueue", t)
 
         # J3 — absorb the delta into the seen filter (admission counters
-        # already arrived as observed metrics on the J2 write; without a
-        # filter this phase costs zero jobs)
-        bloom = _absorb_filter(enq, bloom)
+        # already arrived as observed metrics on the J2 write; while the
+        # filter is below its activation threshold — or disabled — this
+        # phase costs zero jobs)
+        seen_rows += int(stats["n_rows"])
+        if bloom is not None:
+            bloom = _absorb_filter(enq, bloom)
+        elif seen_rows >= cfg.bloom_min_seen_rows:
+            # threshold crossed: build from the FULL log once; later
+            # rounds absorb only their delta
+            bloom = _absorb_filter(io.read(*seen_names), _new_seen_filter(cfg))
         t = _tick("absorb", t)
 
         admitted = enq.filter(F.col("admitted")).select(*FRONTIER_COLS)

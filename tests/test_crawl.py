@@ -94,7 +94,22 @@ def _assert_match(spark, pages_df, corpus, cfg, robots=None, seeds=None):
 
 
 def test_basic_bfs(spark, pages_df, corpus):
+    # bloom_min_seen_rows=0 pins the FILTER path on this tiny corpus (the
+    # adaptive default would leave the filter dormant below 500k seen rows)
+    cfg = CrawlConfig(max_count=40, use_bloom=True, bloom_min_seen_rows=0)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_basic_bfs_adaptive_filter_dormant(spark, pages_df, corpus):
+    # default gate: tiny corpora run the plain anti-join, same results
     cfg = CrawlConfig(max_count=40, use_bloom=True)
+    _assert_match(spark, pages_df, corpus, cfg)
+
+
+def test_filter_activates_mid_crawl(spark, pages_df, corpus):
+    # gate crosses after the early rounds: the filter builds from the FULL
+    # accumulated log once, absorbs deltas thereafter — results identical
+    cfg = CrawlConfig(max_count=40, use_bloom=True, bloom_min_seen_rows=30)
     _assert_match(spark, pages_df, corpus, cfg)
 
 

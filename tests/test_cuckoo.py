@@ -69,7 +69,8 @@ def test_crawl_with_cuckoo_matches_simulator(spark):
     from go_crawler_spark.simulator import simulate
 
     pages = generate_pages_df(spark, 48, 42)
-    cfg = CrawlConfig(max_count=40, seen_filter="cuckoo", cuckoo_buckets=1 << 12)
+    cfg = CrawlConfig(max_count=40, seen_filter="cuckoo", cuckoo_buckets=1 << 12,
+                      bloom_min_seen_rows=0)
     res = run_crawl(spark, pages, default_seeds(), cfg)
     sim = simulate(generate_corpus_dict(48, 42), default_seeds(), cfg)
 
