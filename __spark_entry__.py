@@ -125,6 +125,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         partial = salted.groupBy("source", "_salt").agg(F.count("*").alias("_c"))
         return partial.groupBy("source").agg(F.sum("_c").alias("n_docs"))
 
+    def host_heavy_hitters(spark, sf):
+        # count-min-sketch frequency estimates next to exact counts —
+        # per-host heavy-hitter state a 10^10-URL politeness/throttle tier
+        # keeps as a few-MB sketch instead of an open-web-cardinality
+        # exact table (operators/sketches.py; tree-merged like the seen
+        # filter; all integer math, fixture pinned to an independent
+        # xxh64-replica build)
+        from go_crawler_spark.operators.sketches import heavy_hitters
+
+        docs = _t(spark, sf, "documents")
+        return heavy_hitters(docs, "source", depth=4, width=1 << 12)
+
+    def semantic_dedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023): k-means over embeddings, then
+        # within-cluster cosine pruning keeping the min id per near-dup
+        # component — the cluster stage caps the quadratic stage at
+        # O(sum |c|^2), the paper's web-scale trade. Bit-exact vs an
+        # independent numpy replica via the operator's determinism
+        # protocol (exact decimal centroid sums + 9-dp quantization).
+        from go_crawler_spark.operators.semdedup import semdedup
+
+        emb = _t(spark, sf, "embeddings")
+        return semdedup(emb, "embedding", "vec_id", k=8, n_iters=4, threshold=0.4)
+
     def assets_collect_list(spark, sf):
         # T2 groupBy-collect_list (stringified for stable hashing)
         docs = _t(spark, sf, "documents")
@@ -1241,6 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_recall": embedding_lsh_recall,
         "ann_ivf_recall": ann_ivf_recall,
         "events_sessionization": events_sessionization,
+        # -- new in round 3 --
+        "host_heavy_hitters": host_heavy_hitters,
+        "semantic_dedup": semantic_dedup,
         # -- previously driver-green (r2), original order --
         "dedup_exact_keep_min": dedup_exact_keep_min,
         "seen_anti_join": seen_anti_join,
@@ -1268,9 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
         "pii_scrub": pii_scrub,
+        # ---- driver window (50) ends here; tail is r2-green rotation ----
         "boilerplate_ngrams": boilerplate_ngrams,
         "chunk_dedup_clean": chunk_dedup_clean,
-        # ---- driver window (50) ends here; tail is r2-green rotation ----
         "decontaminate_corpus": decontaminate_corpus,
         "hash_split_assign": hash_split_assign,
         "pack_sequences_bins": pack_sequences_bins,
@@ -1992,6 +2019,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN tail LIKE '?%' THEN '/' || tail
                         ELSE tail END AS surt
             FROM h
+        """,
+        "semantic_dedup": f"""
+            SELECT vec_id, cluster, keep
+            FROM read_parquet('{fix}/semdedup.parquet')
+            WHERE sf = {sf_key}
+        """,
+        "host_heavy_hitters": f"""
+            WITH e AS (SELECT source, count(*) AS n_exact
+                       FROM documents GROUP BY source),
+            c AS (SELECT source, cms_count
+                  FROM read_parquet('{fix}/cms_host_counts.parquet')
+                  WHERE sf = {sf_key})
+            SELECT e.source, e.n_exact, c.cms_count,
+                   c.cms_count - e.n_exact AS overestimate
+            FROM e JOIN c USING (source)
         """,
         "url_blocklist_gate": f"""
             WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),

@@ -35,9 +35,30 @@ def test_xxh64_matches_spark(spark):
         assert r["h"] == xxh64_str(r["s"]), repr(r["s"])
 
 
+def test_xxh64_long_fold_matches_spark(spark):
+    """Multi-column xxhash64 (string, long literal) = the column's hash
+    used as the seed of the literal's hashLong — the fold the count-min
+    fixture replica relies on."""
+    from tools.xxh64 import xxh64_long, xxh64_str
+
+    mask = (1 << 64) - 1
+    samples = ["", "a", "src3", "example.com", "日本語"]
+    for lit in (0, 5, 1000, 1003, -1, 2**40):
+        rows = (
+            spark.createDataFrame([(s,) for s in samples], "s string")
+            .select("s", F.xxhash64("s", F.lit(lit).cast("long")).alias("h"))
+            .collect()
+        )
+        for r in rows:
+            assert r["h"] == xxh64_long(lit, seed=xxh64_str(r["s"]) & mask), (
+                lit, repr(r["s"]),
+            )
+
+
 @pytest.mark.parametrize(
     "name,key,expected_keys",
     [
+        ("cms_host_counts", "sf", {"0.001", "0.01", "0.1"}),
         ("crawl_flagship", "scale", {48, 240, 1200}),
         ("crawl_children", "scale", {48, 240, 1200}),
         ("simhash_pairs", "sf", {"0.001", "0.01", "0.1"}),

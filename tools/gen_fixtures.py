@@ -535,8 +535,133 @@ def gen_robots_rules() -> None:
     )
 
 
+def gen_cms_host_counts(depth: int = 4, width: int = 1 << 12) -> None:
+    """Count-min-sketch estimates per documents.source — independent
+    replica of operators/sketches.py: positions from the pinned
+    multi-column xxhash64 fold (xxh64_long(seed_i, seed=xxh64_str(key)))
+    and a pure-python counter table; all integer math, bit-exact."""
+    from collections import Counter
+
+    from go_crawler_spark.operators.sketches import CMS_SEED_BASE
+    from tools.xxh64 import xxh64_long
+
+    mask = (1 << 64) - 1
+    rows = []
+    for sf in SFS:
+        t = pq.read_table(
+            os.path.join(TESTDATA, f"sf{sf}", "documents.parquet"),
+            columns=["source"],
+        )
+        sources = t["source"].to_pylist()
+        counts = Counter(sources)
+        table = [[0] * width for _ in range(depth)]
+        pos_cache: dict[str, list[int]] = {}
+
+        def positions(key: str) -> list[int]:
+            p = pos_cache.get(key)
+            if p is None:
+                h0 = xxh64_str(key) & mask
+                p = [xxh64_long(CMS_SEED_BASE + i, seed=h0) % width
+                     for i in range(depth)]
+                pos_cache[key] = p
+            return p
+
+        for key, n in counts.items():
+            for i, p in enumerate(positions(key)):
+                table[i][p] += n
+        for key in sorted(counts):
+            est = min(table[i][p] for i, p in enumerate(positions(key)))
+            rows.append(dict(source=key, cms_count=est, sf=sf))
+    write(
+        "cms_host_counts",
+        rows,
+        pa.schema(
+            [("source", pa.string()), ("cms_count", pa.int64()),
+             ("sf", pa.string())]
+        ),
+    )
+
+
+def gen_semdedup(k: int = 8, n_iters: int = 4, threshold: float = 0.4) -> None:
+    """Independent replica of operators/semdedup.py's SemDeDup-style
+    cluster+prune, following the operator's published determinism protocol
+    (exact decimal element sums, 9-dp HALF_UP centroid quantization,
+    (a*b).sum(-1) reductions — see the operator docstring). Pure python/
+    numpy, no Spark."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    rows = []
+    for sf in SFS:
+        ids, vecs = load_embeddings(sf)
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        m = vecs / nrm[:, None]
+        d = m.shape[1]
+        cents = m[:k].copy()  # ids are sorted ascending in load_embeddings
+
+        q15 = Decimal("1e-15")
+        q9 = Decimal("1e-9")
+        with localcontext() as ctx:
+            ctx.prec = 50
+            for _ in range(n_iters):
+                dots = (m[:, None, :] * cents[None, :, :]).sum(axis=2)
+                asg = np.argmax(dots, axis=1)
+                for c in range(k):
+                    members = m[asg == c]
+                    if not len(members):
+                        continue
+                    for j in range(d):
+                        s = sum(
+                            (Decimal(repr(float(v))).quantize(
+                                q15, rounding=ROUND_HALF_UP)
+                             for v in members[:, j]),
+                            Decimal(0),
+                        )
+                        mean = (s / len(members)).quantize(
+                            q9, rounding=ROUND_HALF_UP)
+                        cents[c, j] = float(mean)
+        dots = (m[:, None, :] * cents[None, :, :]).sum(axis=2)
+        asg = np.argmax(dots, axis=1)
+
+        for c in sorted(set(asg.tolist())):
+            sel = np.flatnonzero(asg == c)
+            sub_ids = ids[sel]  # ids sorted ⇒ sub_ids sorted
+            sub = m[sel]
+            n = len(sub_ids)
+            parent = list(range(n))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            sims = (sub[:, None, :] * sub[None, :, :]).sum(axis=2)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if sims[i, j] >= threshold:
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            parent[max(ri, rj)] = min(ri, rj)
+            for i in range(n):
+                rows.append(dict(
+                    vec_id=int(sub_ids[i]), cluster=int(c),
+                    keep=bool(find(i) == i), sf=sf,
+                ))
+    write(
+        "semdedup",
+        rows,
+        pa.schema(
+            [("vec_id", pa.int64()), ("cluster", pa.int32()),
+             ("keep", pa.bool_()), ("sf", pa.string())]
+        ),
+    )
+
+
 def main() -> None:
     os.makedirs(FIXTURES, exist_ok=True)
+    gen_cms_host_counts()
+    gen_semdedup()
     gen_crawl_flagship()
     gen_crawl_children()
     gen_simhash_pairs()

@@ -77,3 +77,22 @@ def xxh64(data: bytes, seed: int = 42) -> int:
 
 def xxh64_str(s: str, seed: int = 42) -> int:
     return xxh64(s.encode("utf-8"), seed)
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark's XXH64.hashLong (the single-8-byte-word path). Used to
+    replicate MULTI-column ``F.xxhash64(str_col, long_lit)``: Spark folds
+    columns left-to-right, each column hashed with the running value as
+    seed — ``xxh64_long(lit, seed=xxh64_str(key) & MASK)``. Pinned against
+    ``F.xxhash64`` in tests/test_fixtures.py."""
+    v &= _MASK
+    acc = (seed + _P5 + 8) & _MASK
+    k1 = (_rotl((v * _P2) & _MASK, 31) * _P1) & _MASK
+    acc ^= k1
+    acc = ((_rotl(acc, 27) * _P1) + _P4) & _MASK
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _MASK
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _MASK
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
