@@ -48,6 +48,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--host-slots", type=int, default=None,
                    help="politeness: max fetches per host per round (0=off)")
+    p.add_argument("--seen-filter-min-rows", type=int, default=None,
+                   help="seen-log rows below which the bloom/cuckoo "
+                        "prefilter stays dormant (exact anti-join "
+                        "broadcasts anyway); 0 = always on")
     p.add_argument("--seen-filter", choices=("bloom", "cuckoo", "none"),
                    default=None)
     p.add_argument("--table-backend", choices=("parquet", "iceberg", "auto"),
@@ -90,6 +94,8 @@ def main(argv=None) -> None:
     if args.seen_filter is not None:
         overrides["seen_filter"] = args.seen_filter
         overrides["use_bloom"] = args.seen_filter != "none"
+    if args.seen_filter_min_rows is not None:
+        overrides["bloom_min_seen_rows"] = args.seen_filter_min_rows
     if args.shuffle_partitions is not None:
         overrides["shuffle_partitions"] = args.shuffle_partitions
     if args.table_backend is not None:
