@@ -74,6 +74,13 @@ def make_spark(cpus: int, heap_gb: int | None = None):
         # local[32] reps G1 hit a 95-103s slow mode 3 times; ParallelGC
         # stayed in 51-69s (smaller barrier overhead, compact young gen).
         .config("spark.driver.memory", mem)
+        # zstd checkpoint writes: the per-round fetched/enqueue logs are
+        # the round's dominant BYTES, and on a shared-bus box (and a real
+        # cluster's store) bytes are the non-scaling resource while
+        # compression CPU scales with cores. Measured (3 interleaved pairs,
+        # local[4], 600k pages): zstd 127.8/142.0/153.5 s vs snappy
+        # 147.5/156.0/160.3 s; headline local[32] 78.7 s vs 83.5 s.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -299,6 +306,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "politeness_topk_per_host",
         "global_seq_assignment",
         "crawl_extract_children",
+        "host_heavy_hitters",
+        "semantic_dedup",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -107,6 +107,10 @@ def main(argv=None) -> None:
         SparkSession.builder.appName("go-crawler-spark")
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # zstd checkpoint logs: round bytes are the non-scaling resource
+        # (shared bus / store bandwidth); compression CPU scales with
+        # cores — measured 9-13% faster rounds vs snappy (BENCH/BASELINE.md)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
