@@ -149,6 +149,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         return semdedup(emb, "embedding", "vec_id", k=8, n_iters=4, threshold=0.4)
 
+    def dsir_select_topk(spark, sf):
+        # DSIR data selection (Xie et al. 2023): hashed-bigram importance
+        # ratios of target (lang='en') vs raw corpus distributions, top-100
+        # docs by score through the range-partitioned scheduler — the
+        # "crawl text that reads like the target" selection stage
+        # (operators/dsir.py; md5-prefix buckets and single-division
+        # weights keep it bit-exact cross-engine)
+        from go_crawler_spark.operators.dsir import dsir_select
+
+        docs = _t(spark, sf, "documents")
+        return dsir_select(docs, F.col("lang") == "en", k=100).select(
+            "doc_id", "n_grams", "score", "seq"
+        )
+
+    def tfidf_top_terms(spark, sf):
+        # tf-idf keyword extraction: top-3 terms per document under the
+        # log-free smoothed idf (N+1)/(df+1) — every score ONE IEEE
+        # division of exact integers (operators/tfidf.py)
+        from go_crawler_spark.operators.tfidf import top_terms
+
+        docs = _t(spark, sf, "documents")
+        out = top_terms(docs, k=3)
+        return out.withColumn("term_rank", F.col("term_rank").cast("long"))
+
+    def linkgraph_hits(spark, sf):
+        # HITS hubs/authorities over the synthetic link graph: integer
+        # path-count power iterations (exact — normalization deferred to
+        # one final division), same iterative-join workload as PageRank
+        from go_crawler_spark.operators.linkgraph import hits
+
+        docs, edges = _synthetic_edges(spark, sf)
+        h = hits(docs.select(F.col("doc_id").alias("node")), edges, n_iter=2)
+        return h.select(F.col("node").alias("doc_id"), "hub", "authority")
+
     def assets_collect_list(spark, sf):
         # T2 groupBy-collect_list (stringified for stable hashing)
         docs = _t(spark, sf, "documents")
@@ -1268,6 +1302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3 --
         "host_heavy_hitters": host_heavy_hitters,
         "semantic_dedup": semantic_dedup,
+        "dsir_select_topk": dsir_select_topk,
+        "tfidf_top_terms": tfidf_top_terms,
+        "linkgraph_hits": linkgraph_hits,
         # -- previously driver-green (r2), original order --
         "dedup_exact_keep_min": dedup_exact_keep_min,
         "seen_anti_join": seen_anti_join,
@@ -1292,10 +1329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "corpus_prepare": corpus_prepare,
         "repetition_scores": repetition_scores,
+        # ---- driver window (50) ends here; tail is r2-green rotation ----
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
         "pii_scrub": pii_scrub,
-        # ---- driver window (50) ends here; tail is r2-green rotation ----
         "boilerplate_ngrams": boilerplate_ngrams,
         "chunk_dedup_clean": chunk_dedup_clean,
         "decontaminate_corpus": decontaminate_corpus,
@@ -2034,6 +2071,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.source, e.n_exact, c.cms_count,
                    c.cms_count - e.n_exact AS overestimate
             FROM e JOIN c USING (source)
+        """,
+        "dsir_select_topk": f"""
+            WITH toks AS (SELECT doc_id, lang, {toks_norm} AS t FROM documents),
+            g AS (
+              SELECT doc_id, lang, unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> substr(md5(t[i] || ' ' || t[i+1]), 1, 3))) AS bucket
+              FROM toks
+            ),
+            pb AS (
+              SELECT bucket, count(*) AS cr,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ct
+              FROM g GROUP BY bucket
+            ),
+            tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                           CAST(sum(ct) AS BIGINT) AS nt FROM pb),
+            w AS (
+              SELECT bucket,
+                     CAST((ct + 1) * (nr + 4096) AS DOUBLE)
+                       / CAST((cr + 1) * (nt + 4096) AS DOUBLE) AS w
+              FROM pb, tot
+            ),
+            s AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     CAST(round(sum(CAST(w.w AS DECIMAL(38,9))), 6)
+                          AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS score
+              FROM g JOIN w USING (bucket) GROUP BY g.doc_id
+            ),
+            sel AS (
+              SELECT d.doc_id,
+                     coalesce(s.n_grams, 0) AS n_grams,
+                     coalesce(s.score, 0.0) AS score
+              FROM documents d LEFT JOIN s USING (doc_id)
+            )
+            SELECT doc_id, n_grams, score, seq FROM (
+              SELECT doc_id, n_grams, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) - 1
+                       AS seq
+              FROM sel)
+            WHERE seq < 100
+        """,
+        "tfidf_top_terms": f"""
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({toks_norm}) AS term FROM documents)
+              WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nn AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(tf.tf * ((SELECT n FROM nn) + 1) AS DOUBLE)
+                       / CAST(dfq.df + 1 AS DOUBLE) AS tfidf
+              FROM tf JOIN dfq USING (term)
+            )
+            SELECT doc_id, term, tfidf,
+                   CAST(term_rank AS BIGINT) AS term_rank FROM (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term)
+                       AS term_rank
+              FROM s)
+            WHERE term_rank <= 3
+        """,
+        "linkgraph_hits": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM documents
+              UNION ALL
+              SELECT doc_id AS src, (doc_id*17+3) % (SELECT n FROM nn) AS dst FROM documents),
+            h0 AS (SELECT doc_id AS node, 1 AS h FROM documents),
+            a1 AS (SELECT d.doc_id AS node, coalesce(s.a, 0) AS a FROM documents d
+                   LEFT JOIN (SELECT e.dst, CAST(sum(h0.h) AS BIGINT) AS a
+                              FROM edges e JOIN h0 ON e.src = h0.node
+                              GROUP BY e.dst) s
+                   ON d.doc_id = s.dst),
+            h1 AS (SELECT d.doc_id AS node, coalesce(s.h, 0) AS h FROM documents d
+                   LEFT JOIN (SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS h
+                              FROM edges e JOIN a1 ON e.dst = a1.node
+                              GROUP BY e.src) s
+                   ON d.doc_id = s.src),
+            a2 AS (SELECT d.doc_id AS node, coalesce(s.a, 0) AS a FROM documents d
+                   LEFT JOIN (SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS a
+                              FROM edges e JOIN h1 ON e.src = h1.node
+                              GROUP BY e.dst) s
+                   ON d.doc_id = s.dst),
+            h2 AS (SELECT d.doc_id AS node, coalesce(s.h, 0) AS h FROM documents d
+                   LEFT JOIN (SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS h
+                              FROM edges e JOIN a2 ON e.dst = a2.node
+                              GROUP BY e.src) s
+                   ON d.doc_id = s.src),
+            tot AS (SELECT (SELECT CAST(sum(h) AS BIGINT) FROM h2) AS th,
+                           (SELECT CAST(sum(a) AS BIGINT) FROM a2) AS ta)
+            SELECT h2.node AS doc_id,
+                   CAST(h2.h AS DOUBLE) / CAST((SELECT th FROM tot) AS DOUBLE) AS hub,
+                   CAST(a2.a AS DOUBLE) / CAST((SELECT ta FROM tot) AS DOUBLE) AS authority
+            FROM h2 JOIN a2 ON h2.node = a2.node
         """,
         "url_blocklist_gate": f"""
             WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),

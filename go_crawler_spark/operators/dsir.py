@@ -1,0 +1,177 @@
+"""DSIR-style data selection via hashed n-gram importance weights
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling" — public paper): score every raw document by how much more
+likely its n-grams are under a small TARGET corpus's bag-of-hashed-ngrams
+distribution than under the raw corpus's own, then keep the top-scoring
+slice. The classic use: target = curated/high-quality text, raw = a crawl
+dump; the selected slice is "crawl text that reads like the target".
+
+Reference anchor: the reference crawler has no selection stage — this is
+[EXTENSION — training-data ops], same family as corpus_prep.decontaminate.
+
+Scale shape (the whole point at 100 TB):
+- feature extraction is a map-only JVM pass (token n-grams + md5 bucket
+  prefix — no Python, no shuffle);
+- both distributions are ONE map-side-combined aggregation each, with at
+  most B = 16^bucket_hex distinct keys (4096 by default) — the reduce side
+  is bounded by the bucket space, not the corpus;
+- the per-bucket weight table is ≤ B rows and is BROADCAST back onto the
+  exploded grams, so the raw corpus is never shuffled: score assembly is
+  explode → broadcast-join → per-doc partial agg. The only exchange
+  carries (doc_id, bucket) pairs, never text.
+
+Cross-engine exactness protocol (DuckDB oracle hash-matches bit for bit):
+- the hash bucket is the md5 hex PREFIX as a STRING (md5 is identical in
+  Spark and DuckDB; hex→int conversion is not portable — repo convention);
+- the smoothed weight is a single IEEE division of two exact integers
+  (counts and totals are < 2^53), so both engines produce the identical
+  double: w_b = ((ct_b + 1) * (N_raw + B)) / ((cr_b + 1) * (N_tgt + B));
+- per-doc scores sum those doubles as DECIMAL(38,9) (order-independent),
+  round(6), cast back to double — the repo-wide float-sum protocol.
+
+The paper scores with Σ log w and samples with Gumbel noise; this engine
+exposes the deterministic variant — the per-occurrence MEAN ratio
+(Σ w)/n and a top-k selection with doc_id tie-break — because a
+cross-engine-verifiable pipeline cannot rank on transcendentals or RNG.
+The mean, not the sum: off-target grams have w < 1 and drag the mean
+down, playing the role of the paper's negative log-ratios, whereas a
+plain sum of positive ratios would reward sheer length (a long junk doc
+would beat a short on-target one). The estimator structure (hashed
+n-gram bag distributions + per-occurrence importance ratio) is the
+paper's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from go_crawler_spark.functions.text import token_ngrams
+
+DEFAULT_BUCKET_HEX = 3  # md5 prefix length → B = 16^3 = 4096 buckets
+
+
+def gram_buckets(
+    text_col, n: int = 2, bucket_hex: int = DEFAULT_BUCKET_HEX
+):
+    """Array of hashed n-gram bucket keys (md5 hex prefixes) for one text
+    column. Pure JVM: transform over the shingle array — no Python."""
+    return F.transform(
+        token_ngrams(text_col, n=n),
+        lambda g: F.substring(F.md5(g), 1, bucket_hex),
+    )
+
+
+def _bucket_counts(exploded: DataFrame) -> DataFrame:
+    """(bucket, cnt) from an exploded (doc_id, bucket) frame — one
+    map-side-combined agg, ≤ B result rows."""
+    return exploded.groupBy("bucket").agg(F.count("*").alias("cnt"))
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bucket_hex: int = DEFAULT_BUCKET_HEX,
+) -> DataFrame:
+    """Per-document importance scores: (id_col, n_grams, score).
+
+    ``target_pred`` is a boolean Column selecting the target slice of
+    ``df`` (e.g. ``F.col("lang") == "en"``). score = the per-occurrence
+    mean importance ratio round(Σ_g w_bucket(g), 6) / n_grams over the
+    document's n-gram occurrences (exact decimal sum, then one IEEE
+    division); docs with no grams score 0.0. Deterministic and
+    engine-exact (see module docstring).
+    """
+    b_space = 16 ** bucket_hex
+
+    grams = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode_outer(gram_buckets(F.col(text_col), n, bucket_hex)).alias(
+            "bucket"
+        ),
+    )
+    # one pass over the corpus feeds BOTH distributions (target ⊆ raw):
+    # ≤ B result rows per agg, map-side combined
+    per_bucket = grams.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = per_bucket.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    ).first()
+    n_raw = int(totals["nr"] or 0)
+    n_tgt = int(totals["nt"] or 0)
+
+    # smoothed per-occurrence importance ratio; ONE IEEE division of exact
+    # integer products (< 2^53) — bit-identical in any engine
+    weights = per_bucket.select(
+        "bucket",
+        (
+            ((F.col("ct") + 1) * F.lit(n_raw + b_space)).cast("double")
+            / ((F.col("cr") + 1) * F.lit(n_tgt + b_space)).cast("double")
+        ).alias("w"),
+    )
+
+    scored = (
+        grams.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("bucket").isNotNull(), 1).otherwise(0)).alias(
+                "n_grams"
+            ),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("w").cast("decimal(38,9)")),
+                    F.lit(0).cast("decimal(38,9)"),
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("_sum_w"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("_sum_w") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bucket_hex: int = DEFAULT_BUCKET_HEX,
+) -> DataFrame:
+    """Top-k selection by importance score (ties broken by id_col) —
+    the deterministic analogue of the paper's Gumbel-top-k resampling.
+    Returns (id_col, n_grams, score, seq) with seq = 0..k-1 in selection
+    order.
+
+    Scale shape: the ranking runs on the SCORES table (one row per doc —
+    3 scalars, never the text) through :func:`priority_schedule`'s
+    range-partitioned two-pass top-k, so no single task ever merges the
+    global order (a TakeOrderedAndProject would). Callers re-join the
+    winners to the corpus by id — broadcast when k is small.
+    """
+    from go_crawler_spark.operators.sequence import priority_schedule
+
+    scores = dsir_scores(df, target_pred, text_col, id_col, n, bucket_hex)
+    # priority_schedule orders ascending: negate for score-descending
+    ranked = priority_schedule(
+        scores.withColumn("_neg_score", -F.col("score")),
+        ["_neg_score", id_col],
+        k=k,
+    )
+    return ranked.drop("_neg_score")

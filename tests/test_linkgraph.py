@@ -100,3 +100,32 @@ def test_components_self_loops_and_isolated(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {7: 7, 1: 1, 2: 1}
+
+
+def test_hits_hand_computed(spark):
+    """HITS on the classic 3-node graph, n_iter=2, checked against
+    hand-run integer power iterations (hub_0=1; a_k = in-sum of h_{k-1};
+    h_k = out-sum of a_k), L1-normalized at the end."""
+    from go_crawler_spark.operators.linkgraph import hits
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(nodes, edges, n_iter=2).collect()}
+    # iter1: a1 = in-degree = {0:1, 1:1, 2:2}; h1 = {0: a1or(1)+a1(2)=3, 1:2, 2:1}
+    # iter2: a2 = {0: h1(2)=1, 1: h1(0)=3, 2: h1(0)+h1(1)=5}
+    #        h2 = {0: a2(1)+a2(2)=8, 1: a2(2)=5, 2: a2(0)=1}; th=14, ta=9
+    assert got[0] == (8 / 14, 1 / 9)
+    assert got[1] == (5 / 14, 3 / 9)
+    assert got[2] == (1 / 14, 5 / 9)
+
+
+def test_hits_isolated_node_scores_zero(spark):
+    from go_crawler_spark.operators.linkgraph import hits
+
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "node long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(nodes, edges).collect()}
+    assert got[9] == (0.0, 0.0)
+    assert got[0][0] > 0.0 and got[1][1] > 0.0

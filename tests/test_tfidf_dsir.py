@@ -1,0 +1,116 @@
+"""tf-idf top-terms and DSIR importance selection: hand-computed tiny
+cases, edge handling (empty/short docs), and partitioning-invariance of
+the decimal score sums (the full oracle parity runs in
+test_queries_oracle / tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_crawler_spark.operators.dsir import dsir_scores, dsir_select
+from go_crawler_spark.operators.tfidf import tfidf_scores, top_terms
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_tfidf_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "apple banana apple", "en"),
+            (1, "banana cherry", "en"),
+            (2, "durian", "de"),
+        ],
+    )
+    # N=3; idf = (N+1)/(df+1): apple df=1 -> 2.0; banana df=2 -> 4/3
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_scores(docs).collect()
+    }
+    assert got[(0, "apple")] == (2, 1, 2 * 4 / 2)
+    assert got[(0, "banana")] == (1, 2, 1 * 4 / 3)
+    assert got[(1, "cherry")] == (1, 1, 1 * 4 / 2)
+    assert got[(2, "durian")] == (1, 1, 2.0)
+
+    top = top_terms(docs, k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in top}
+    assert best[0] == "apple"  # 4.0 beats banana's 1.33
+    assert all(r["term_rank"] == 1 for r in top)
+
+
+def test_tfidf_empty_and_punct_docs_emit_nothing(spark):
+    docs = _docs(spark, [(0, "", "en"), (1, "?!...", "en"), (2, "word", "en")])
+    rows = tfidf_scores(docs).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_tfidf_min_df_prunes_hapax(spark):
+    docs = _docs(
+        spark, [(0, "common rare1", "en"), (1, "common rare2", "en")]
+    )
+    rows = tfidf_scores(docs, min_df=2).collect()
+    assert {r["term"] for r in rows} == {"common"}
+
+
+def test_tfidf_tie_breaks_lexicographic(spark):
+    # both terms tf=1, df=1 -> equal score; rank must order by term asc
+    docs = _docs(spark, [(0, "zebra alpha", "en")])
+    got = {r["term"]: r["term_rank"] for r in top_terms(docs, k=2).collect()}
+    assert got == {"alpha": 1, "zebra": 2}
+
+
+def test_dsir_scores_favor_target_like_docs(spark):
+    # target = lang 'tgt' docs, all about "good clean text"; doc 10 repeats
+    # the target phrasing, doc 11 is junk the target never uses
+    rows = [
+        (0, "good clean text here", "tgt"),
+        (1, "good clean text again", "tgt"),
+        (10, "good clean text sample", "raw"),
+        (11, "zz qq xx vv ww uu", "raw"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in dsir_scores(docs, F.col("lang") == "tgt").collect()}
+    assert set(got) == {0, 1, 10, 11}
+    assert got[10]["n_grams"] == 3  # 4 tokens -> 3 bigrams
+    assert got[10]["score"] > got[11]["score"]
+
+
+def test_dsir_short_doc_scores_zero(spark):
+    docs = _docs(spark, [(0, "single", "tgt"), (1, "two tokens", "tgt")])
+    got = {r["doc_id"]: r for r in dsir_scores(docs, F.lit(True)).collect()}
+    assert got[0]["n_grams"] == 0 and got[0]["score"] == 0.0
+    assert got[1]["n_grams"] == 1 and got[1]["score"] > 0.0
+
+
+def test_dsir_scores_partitioning_invariant(spark):
+    """Decimal accumulation makes scores independent of partitioning —
+    the property the oracle hash relies on."""
+    rows = [
+        (i, f"token{i % 5} shared words token{i % 3} more shared text", "en" if i % 2 else "de")
+        for i in range(40)
+    ]
+    docs = _docs(spark, rows)
+    a = sorted(
+        tuple(r) for r in dsir_scores(docs, F.col("lang") == "en").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dsir_scores(
+            docs.repartition(7), F.col("lang") == "en"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_dsir_select_topk_order_and_seq(spark):
+    rows = [(i, f"alpha beta w{i} gamma delta", "en" if i < 6 else "de") for i in range(12)]
+    docs = _docs(spark, rows)
+    sel = dsir_select(docs, F.col("lang") == "en", k=5).collect()
+    assert len(sel) == 5
+    by_seq = sorted(sel, key=lambda r: r["seq"])
+    assert [r["seq"] for r in by_seq] == [0, 1, 2, 3, 4]
+    # seq follows (score desc, doc_id asc)
+    keys = [(-r["score"], r["doc_id"]) for r in by_seq]
+    assert keys == sorted(keys)
