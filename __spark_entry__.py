@@ -183,6 +183,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         h = hits(docs.select(F.col("doc_id").alias("node")), edges, n_iter=2)
         return h.select(F.col("node").alias("doc_id"), "hub", "authority")
 
+    def host_budget_allocation(spark, sf):
+        # Hamilton (largest-remainder) apportionment of a round's page
+        # budget across hosts proportional to pending volume — integer
+        # arithmetic only, Σ quota == budget exactly
+        # (operators/politeness.py::allocate_host_budget)
+        from go_crawler_spark.operators.politeness import allocate_host_budget
+
+        docs = _t(spark, sf, "documents")
+        hosts = docs.groupBy("source").agg(F.sum("n_chars").alias("weight"))
+        return allocate_host_budget(hosts, budget=1000, host_col="source")
+
     def assets_collect_list(spark, sf):
         # T2 groupBy-collect_list (stringified for stable hashing)
         docs = _t(spark, sf, "documents")
@@ -1305,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_topk": dsir_select_topk,
         "tfidf_top_terms": tfidf_top_terms,
         "linkgraph_hits": linkgraph_hits,
+        "host_budget_allocation": host_budget_allocation,
         # -- previously driver-green (r2), original order --
         "dedup_exact_keep_min": dedup_exact_keep_min,
         "seen_anti_join": seen_anti_join,
@@ -1328,8 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
         "corpus_prepare": corpus_prepare,
-        "repetition_scores": repetition_scores,
         # ---- driver window (50) ends here; tail is r2-green rotation ----
+        "repetition_scores": repetition_scores,
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
         "pii_scrub": pii_scrub,
@@ -2136,6 +2148,25 @@ def oracle_sql() -> dict[str, str]:
                        AS term_rank
               FROM s)
             WHERE term_rank <= 3
+        """,
+        "host_budget_allocation": """
+            WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+                       FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+            base AS (SELECT source,
+                       (w * 1000) // (SELECT tw FROM tot) AS fl,
+                       (w * 1000) % (SELECT tw FROM tot) AS rem
+                     FROM w),
+            lv AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS leftover
+                   FROM base),
+            rk AS (SELECT source,
+                     row_number() OVER (ORDER BY rem DESC, source) AS rk
+                   FROM base WHERE rem > 0)
+            SELECT b.source,
+                   CAST(b.fl + CASE WHEN r.rk IS NOT NULL
+                                     AND r.rk <= (SELECT leftover FROM lv)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM base b LEFT JOIN rk r ON b.source = r.source
         """,
         "linkgraph_hits": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -118,3 +118,86 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, host_col: str = "host")
     allowed = verdict.filter(~F.coalesce(F.col("_any_blocked"), F.lit(False))).drop("_any_blocked")
     blocked = verdict.filter(F.coalesce(F.col("_any_blocked"), F.lit(False))).drop("_any_blocked")
     return allowed, blocked
+
+
+def allocate_host_budget(
+    hosts: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global page budget
+    across hosts [EXTENSION — north rule "per-host politeness buckets" +
+    Q2 budget]: (host_col, quota) with Σ quota == min(budget, handing every
+    host its proportional share) and quota_h ∈ {floor(share_h),
+    floor(share_h)+1}.
+
+    A 10^10-URL frontier can't give every host ``slots`` fetches per round
+    — the round budget itself must be SPLIT across hosts proportionally to
+    a weight (pending-URL count, host quality, revisit pressure). Hamilton
+    apportionment is the standard exact method: quota_h =
+    floor(budget·w_h/W), then the budget - Σfloor leftover units go to the
+    largest fractional remainders (ties: host ascending).
+
+    Engine-exact: shares are never computed as floats — floor(budget·w/W)
+    and the remainder budget·w - floor·W are INTEGER arithmetic (products
+    < 2^53 for any real budget/weight), so a SQL oracle reproduces the
+    allocation bit for bit.
+
+    Scale shape: W and Σfloor are one bounded agg (two scalars to the
+    driver); the leftover top-r selection runs through
+    :func:`go_crawler_spark.operators.sequence.priority_schedule`'s
+    range-partitioned two-pass (no single-task ordered merge — the host
+    table at web scale is 10^8-10^9 rows); the +1 winners re-join the
+    quota table by host hash. Weights ≤ 0 are treated as 0 (no quota).
+    """
+    from go_crawler_spark.operators.sequence import priority_schedule
+
+    w = hosts.select(
+        F.col(host_col),
+        F.greatest(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
+    )
+    tot = w.agg(F.sum("_w").alias("tw")).first()
+    total_w = int(tot["tw"] or 0)
+    if total_w == 0 or budget <= 0:
+        return w.select(host_col, F.lit(0).cast("long").alias("quota"))
+
+    base = w.select(
+        F.col(host_col),
+        "_w",
+        (F.col("_w") * F.lit(budget)).alias("_num"),
+    ).selectExpr(
+        host_col,
+        # `div` = ANSI integer division (LONG) — no double division in
+        # sight; `%` on longs is the exact fractional remainder in [0, W)
+        f"_num div {total_w} AS _floor",
+        f"_num % {total_w} AS _rem",
+    )
+    floor_sum = base.agg(F.sum("_floor").alias("fs")).first()
+    leftover = budget - int(floor_sum["fs"] or 0)
+
+    if leftover <= 0:
+        return base.select(host_col, F.col("_floor").alias("quota"))
+
+    winners = priority_schedule(
+        base.filter(F.col("_rem") > 0).select(
+            host_col, (-F.col("_rem")).alias("_neg_rem")
+        ),
+        ["_neg_rem", host_col],
+        k=leftover,
+    ).select(F.col(host_col).alias("_win_host"))
+
+    return (
+        base.join(
+            F.broadcast(winners),
+            base[host_col] == winners["_win_host"],
+            "left",
+        )
+        .select(
+            host_col,
+            (
+                F.col("_floor")
+                + F.when(F.col("_win_host").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )

@@ -114,3 +114,58 @@ def test_dsir_select_topk_order_and_seq(spark):
     # seq follows (score desc, doc_id asc)
     keys = [(-r["score"], r["doc_id"]) for r in by_seq]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# Hamilton host-budget apportionment (operators/politeness.py)
+# ---------------------------------------------------------------------------
+
+
+def _alloc(spark, rows, budget):
+    from go_crawler_spark.operators.politeness import allocate_host_budget
+
+    hosts = spark.createDataFrame(rows, "host string, weight long")
+    got = allocate_host_budget(hosts, budget).collect()
+    return {r["host"]: r["quota"] for r in got}
+
+
+def test_host_budget_hand_computed(spark):
+    # classic Hamilton example: shares 10*[4,3,3]/10 -> floors 4,3,3 sum=10
+    assert _alloc(spark, [("a", 4), ("b", 3), ("c", 3)], 10) == {
+        "a": 4, "b": 3, "c": 3,
+    }
+    # budget 10, weights 5,3,1: shares 50/9=5.55, 30/9=3.33, 10/9=1.11
+    # floors 5,3,1 (sum 9) -> 1 leftover to the largest remainder (a: 5/9)
+    assert _alloc(spark, [("a", 5), ("b", 3), ("c", 1)], 10) == {
+        "a": 6, "b": 3, "c": 1,
+    }
+
+
+def test_host_budget_sums_to_budget_and_ties_break_by_host(spark):
+    # equal weights, budget not divisible: 3 hosts, budget 7 -> 2.33 each,
+    # floors 2,2,2, leftover 1 -> equal remainders, tie-break host asc
+    got = _alloc(spark, [("x", 1), ("y", 1), ("z", 1)], 7)
+    assert sum(got.values()) == 7
+    assert got == {"x": 3, "y": 2, "z": 2}
+
+
+def test_host_budget_zero_and_negative_weights(spark):
+    got = _alloc(spark, [("a", 5), ("b", 0), ("c", -3)], 9)
+    assert got == {"a": 9, "b": 0, "c": 0}
+
+
+def test_host_budget_zero_total_weight(spark):
+    assert _alloc(spark, [("a", 0), ("b", 0)], 5) == {"a": 0, "b": 0}
+
+
+def test_host_budget_exactness_property(spark):
+    # 40 hosts with awkward weights: sum == budget exactly, every quota in
+    # {floor(share), floor(share)+1}
+    rows = [(f"h{i:02d}", (i * 7919) % 113 + 1) for i in range(40)]
+    budget = 1000
+    got = _alloc(spark, rows, budget)
+    assert sum(got.values()) == budget
+    tw = sum(w for _, w in rows)
+    for h, w in rows:
+        fl = (w * budget) // tw
+        assert got[h] in (fl, fl + 1), (h, w, fl, got[h])

@@ -222,6 +222,36 @@ def main() -> None:
         {"partial_max": True},
     )
 
+    # 11. DSIR selection → ≤4096-row weight table broadcast back onto the
+    # grams; the corpus text never enters an exchange
+    from go_crawler_spark.operators.dsir import dsir_scores
+
+    audit_custom(
+        "dsir_scores (broadcast weight table; text never shuffles)",
+        dsir_scores(docs, F.col("lang") == "en"),
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#") and "BroadcastHashJoin" in p,
+    )
+
+    # 12. tf-idf → the term exchanges carry (doc_id, term[, counts]) only;
+    # document text is exploded map-side and never shuffled
+    from go_crawler_spark.operators.tfidf import top_terms
+
+    audit_custom(
+        "tfidf_top_terms (gram-level exchanges; text never shuffles)",
+        top_terms(docs, k=3),
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
+    # 13. host budget apportionment → the leftover winners list broadcasts
+    # back to the quota table (host-level tables only; no sort-merge)
+    audit(
+        "host_budget_allocation (broadcast winners join)",
+        qs["host_budget_allocation"](spark, SF),
+        {"BroadcastHashJoin": True, "SortMergeJoin": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
