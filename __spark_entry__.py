@@ -194,6 +194,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hosts = docs.groupBy("source").agg(F.sum("n_chars").alias("weight"))
         return allocate_host_budget(hosts, budget=1000, host_col="source")
 
+    def streaming_quality_scores(spark, sf):
+        # second Structured Streaming face: the documents table streamed
+        # as a file source through the map-only ingest-analysis pipeline
+        # (token count / quality / lang-id). Stateless, so stream ==
+        # batch == the ANSI-SQL oracle bit for bit — a streaming query
+        # with a full value-hash oracle, not rows-only.
+        import shutil
+        import tempfile
+        import uuid
+
+        from go_crawler_spark.streaming.pipeline import text_quality_stream
+
+        src_file = os.path.join(sf, "documents.parquet")
+        src_dir = tempfile.mkdtemp(prefix="stream_docs_")
+        shutil.copy(src_file, src_dir)
+        schema = spark.read.parquet(src_file).schema
+        st = spark.readStream.schema(schema).parquet(src_dir)
+        out = text_quality_stream(st, id_cols=("doc_id",))
+        qname = f"stream_q_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_qck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qname).orderBy("doc_id")
+
     def assets_collect_list(spark, sf):
         # T2 groupBy-collect_list (stringified for stable hashing)
         docs = _t(spark, sf, "documents")
@@ -1317,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "linkgraph_hits": linkgraph_hits,
         "host_budget_allocation": host_budget_allocation,
+        "streaming_quality_scores": streaming_quality_scores,
         # -- previously driver-green (r2), original order --
         "dedup_exact_keep_min": dedup_exact_keep_min,
         "seen_anti_join": seen_anti_join,
@@ -1339,8 +1370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
-        "corpus_prepare": corpus_prepare,
         # ---- driver window (50) ends here; tail is r2-green rotation ----
+        "corpus_prepare": corpus_prepare,
         "repetition_scores": repetition_scores,
         "quality_scores": quality_scores,
         "lang_id_pred": lang_id_pred,
@@ -1664,6 +1695,31 @@ def oracle_sql() -> dict[str, str]:
                      greatest(h_en, h_de, h_fr, h_es) AS best
               FROM (
                 SELECT doc_id, {en} AS h_en, {de} AS h_de,
+                       {fr} AS h_fr, {es} AS h_es
+                FROM documents))
+        """,
+        "streaming_quality_scores": f"""
+            SELECT doc_id, ntok AS n_tokens,
+                   round(
+                     0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                                 WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                            ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END)
+                   + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                            ELSE h_en * 1.0 / ntok END), 6) AS quality,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN h_de = best THEN 'de'
+                        WHEN h_en = best THEN 'en'
+                        WHEN h_es = best THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (
+              SELECT doc_id, text, ntok, h_en, h_de, h_es,
+                     greatest(h_en, h_de, h_fr, h_es) AS best
+              FROM (
+                SELECT doc_id, text,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok,
+                       {en} AS h_en, {de} AS h_de,
                        {fr} AS h_fr, {es} AS h_es
                 FROM documents))
         """,

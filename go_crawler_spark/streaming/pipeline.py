@@ -108,12 +108,16 @@ def windowed_host_metrics(
     )
 
 
-def text_quality_stream(pages: DataFrame) -> DataFrame:
+def text_quality_stream(
+    pages: DataFrame, id_cols: tuple[str, ...] = ("url", "warc_ts")
+) -> DataFrame:
     """Training-data ingest analysis over the stream: token count, quality
-    score, n-gram lang-id — all vectorized, map-only."""
+    score, n-gram lang-id — all vectorized, map-only (stateless: no
+    window/watermark, so the stream result is bit-identical to running
+    the same expressions in batch — pinned by the
+    ``streaming_quality_scores`` SQL oracle)."""
     return pages.select(
-        "url",
-        "warc_ts",
+        *id_cols,
         token_count(F.col("text")).alias("n_tokens"),
         F.round(quality_score(F.col("text")), 6).alias("quality"),
         lang_id(F.col("text")).alias("lang_pred"),

@@ -135,3 +135,58 @@ def test_streaming_seen_filter_dedups_across_restarts(spark, tmp_path):
     all_emitted = [r["url"] for r in spark.read.parquet(sink).collect()]
     assert len(all_emitted) == len(set(all_emitted)), "URL re-emitted after restart"
     assert sorted(set(all_emitted)) == sorted(set(urls1) | set(urls2))
+
+
+def test_text_quality_stream_equals_batch(spark, tmp_path):
+    """Stateless ingest analysis: the streamed result must be row-for-row
+    identical to the same expressions run in batch (the property the
+    streaming_quality_scores SQL oracle pins cross-engine)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from go_crawler_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from go_crawler_spark.streaming.pipeline import text_quality_stream
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (0, "the quick brown fox and the lazy dog of the day"),
+        (1, ""),
+        (2, "der und die das ist ein"),
+        (3, "?!?!?! 123"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.coalesce(1).write.parquet(src)
+
+    st = spark.readStream.schema("doc_id long, text string").parquet(src)
+    qname = f"tq_{uuid.uuid4().hex[:8]}"
+    q = (
+        text_quality_stream(st, id_cols=("doc_id",))
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(tuple(r) for r in spark.table(qname).collect())
+
+    batch = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        ).collect()
+    )
+    assert streamed == batch
+    # spot-pin semantics: empty text -> 0 tokens / 'und'
+    by_id = {t[0]: t for t in streamed}
+    assert by_id[1][1] == 0 and by_id[1][3] == "und"
+    assert by_id[2][3] == "de"
