@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         src_file = os.path.join(sf, "documents.parquet")
         src_dir = tempfile.mkdtemp(prefix="stream_docs_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_qck_")
         shutil.copy(src_file, src_dir)
         schema = spark.read.parquet(src_file).schema
         st = spark.readStream.schema(schema).parquet(src_dir)
@@ -217,11 +218,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out.writeStream.format("memory")
             .queryName(qname)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_qck_"))
+            .option("checkpointLocation", ckpt_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        # the memory sink holds the rows now — the corpus copy and the
+        # checkpoint are dead weight (this query runs on every gate pass;
+        # leaking a corpus copy per run adds up)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
         return spark.table(qname).orderBy("doc_id")
 
     def assets_collect_list(spark, sf):
@@ -1250,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as a file-source stream -> fused extraction -> event-time windowed
         # per-host metrics with watermark; drained with availableNow and
         # returned as the final batch table (rows-only by nature)
+        import shutil
         import tempfile
         import uuid
 
@@ -1261,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         src_dir = tempfile.mkdtemp(prefix="stream_src_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_ck_")
         generate_pages_df(spark, _crawl_scale(sf), seed=42).write.mode(
             "overwrite"
         ).parquet(src_dir)
@@ -1272,11 +1280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             metrics.writeStream.format("memory")
             .queryName(qname)
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+            .option("checkpointLocation", ckpt_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
         return spark.table(qname).orderBy("win_start", "host")
 
     def multimodal_frame_sample(spark, sf):
@@ -1461,6 +1471,29 @@ def oracle_sql() -> dict[str, str]:
     de = lang_hits(LANG_MARKERS["de"])
     fr = lang_hits(LANG_MARKERS["fr"])
     es = lang_hits(LANG_MARKERS["es"])
+
+    # shared text-analysis fragments (quality_scores, lang_id_pred and
+    # streaming_quality_scores must agree on ONE formula — a drift between
+    # hand-maintained copies would make one oracle silently stale)
+    ql_inner = f"""
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok,
+                     {en} AS h_en, {de} AS h_de,
+                     {fr} AS h_fr, {es} AS h_es
+              FROM documents"""
+    quality_formula = """round(
+              0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                          WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+            + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                     ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END)
+            + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                     ELSE h_en * 1.0 / ntok END), 6)"""
+    lang_case = """CASE WHEN best = 0 THEN 'und'
+                        WHEN h_de = best THEN 'de'
+                        WHEN h_en = best THEN 'en'
+                        WHEN h_es = best THEN 'es'
+                        ELSE 'fr' END"""
 
     shingles = (
         f"list_distinct(list_transform("
@@ -1670,58 +1703,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_scores": f"""
-            SELECT doc_id, round(
-              0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
-                          WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
-            + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
-                     ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END)
-            + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
-                     ELSE {en} * 1.0 / ntok END), 6) AS quality
-            FROM (
-              SELECT doc_id, text,
-                     CASE WHEN len(trim(text)) = 0 THEN 0
-                          ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok
-              FROM documents)
+            SELECT doc_id, {quality_formula} AS quality
+            FROM ({ql_inner})
         """,
         "lang_id_pred": f"""
-            SELECT doc_id,
-                   CASE WHEN best = 0 THEN 'und'
-                        WHEN h_de = best THEN 'de'
-                        WHEN h_en = best THEN 'en'
-                        WHEN h_es = best THEN 'es'
-                        ELSE 'fr' END AS lang_pred
+            SELECT doc_id, {lang_case} AS lang_pred
             FROM (
               SELECT doc_id, h_en, h_de, h_fr, h_es,
                      greatest(h_en, h_de, h_fr, h_es) AS best
-              FROM (
-                SELECT doc_id, {en} AS h_en, {de} AS h_de,
-                       {fr} AS h_fr, {es} AS h_es
-                FROM documents))
+              FROM ({ql_inner}))
         """,
         "streaming_quality_scores": f"""
             SELECT doc_id, ntok AS n_tokens,
-                   round(
-                     0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
-                                 WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
-                   + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
-                            ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / len(text) END)
-                   + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
-                            ELSE h_en * 1.0 / ntok END), 6) AS quality,
-                   CASE WHEN best = 0 THEN 'und'
-                        WHEN h_de = best THEN 'de'
-                        WHEN h_en = best THEN 'en'
-                        WHEN h_es = best THEN 'es'
-                        ELSE 'fr' END AS lang_pred
+                   {quality_formula} AS quality,
+                   {lang_case} AS lang_pred
             FROM (
               SELECT doc_id, text, ntok, h_en, h_de, h_es,
                      greatest(h_en, h_de, h_fr, h_es) AS best
-              FROM (
-                SELECT doc_id, text,
-                       CASE WHEN len(trim(text)) = 0 THEN 0
-                            ELSE len({_TOKS_SQL.format(c="text")}) END AS ntok,
-                       {en} AS h_en, {de} AS h_de,
-                       {fr} AS h_fr, {es} AS h_es
-                FROM documents))
+              FROM ({ql_inner}))
         """,
         "corpus_prepare_v2": f"""
             WITH enriched AS (

@@ -12,9 +12,10 @@ Reference anchor: the reference crawler has no selection stage — this is
 Scale shape (the whole point at 100 TB):
 - feature extraction is a map-only JVM pass (token n-grams + md5 bucket
   prefix — no Python, no shuffle);
-- both distributions are ONE map-side-combined aggregation each, with at
-  most B = 16^bucket_hex distinct keys (4096 by default) — the reduce side
-  is bounded by the bucket space, not the corpus;
+- both distributions come from ONE map-side-combined census with at most
+  B = 16^bucket_hex distinct keys (4096 by default) — the reduce side is
+  bounded by the bucket space, not the corpus, so it is collected and the
+  weight table is derived driver-side (no second corpus scan for totals);
 - the per-bucket weight table is ≤ B rows and is BROADCAST back onto the
   exploded grams, so the raw corpus is never shuffled: score assembly is
   explode → broadcast-join → per-doc partial agg. The only exchange
@@ -94,25 +95,37 @@ def dsir_scores(
         ),
     )
     # one pass over the corpus feeds BOTH distributions (target ⊆ raw):
-    # ≤ B result rows per agg, map-side combined
-    per_bucket = grams.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+    # ≤ B result rows, map-side combined. COLLECTED: the bucket census is
+    # bounded by the bucket space (4096 rows of 3 scalars), so totals and
+    # the weight table are derived driver-side from the one collected
+    # census instead of re-running the gram extraction for each (the
+    # corpus is scanned exactly twice per evaluation: this census + the
+    # final score assembly — nothing is left persisted)
+    census = (
+        grams.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cr"),
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+        )
+        .collect()
     )
-    totals = per_bucket.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
-    ).first()
-    n_raw = int(totals["nr"] or 0)
-    n_tgt = int(totals["nt"] or 0)
+    n_raw = sum(int(r["cr"]) for r in census)
+    n_tgt = sum(int(r["ct"]) for r in census)
 
     # smoothed per-occurrence importance ratio; ONE IEEE division of exact
-    # integer products (< 2^53) — bit-identical in any engine
-    weights = per_bucket.select(
-        "bucket",
-        (
-            ((F.col("ct") + 1) * F.lit(n_raw + b_space)).cast("double")
-            / ((F.col("cr") + 1) * F.lit(n_tgt + b_space)).cast("double")
-        ).alias("w"),
+    # integers (< 2^53) — bit-identical in any engine (python float
+    # division IS IEEE double division, same as Spark's / on doubles)
+    weights = df.sparkSession.createDataFrame(
+        [
+            (
+                r["bucket"],
+                ((int(r["ct"]) + 1) * (n_raw + b_space))
+                / ((int(r["cr"]) + 1) * (n_tgt + b_space)),
+            )
+            for r in census
+        ],
+        "bucket string, w double",
     )
 
     scored = (

@@ -120,6 +120,9 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
     PageRank; bucket ``edges`` by src once and both joins reuse the
     partitioning. Scores are (node, int) pairs — never wider.
     """
+    if n_iter < 1:
+        raise ValueError("hits() needs n_iter >= 1 (authority is undefined "
+                         "before the first in-sum)")
     hub = nodes.withColumn("h", F.lit(1).cast("long"))
     auth = None
     for i in range(n_iter):
@@ -142,18 +145,20 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
         if (i + 1) % 5 == 0 and i + 1 < n_iter:
             hub = hub.localCheckpoint(eager=True)
 
-    totals = hub.join(auth, "node").agg(
+    # persist the joined integer scores: the totals action and the
+    # returned normalization plan both read them — without this the whole
+    # 2·n_iter-stage iterative DAG runs twice (same reason pagerank
+    # persists `weighted`)
+    scores = hub.join(auth, "node").persist()
+    totals = scores.agg(
         F.sum("h").alias("th"), F.sum("a").alias("ta")
     ).first()
     th = int(totals["th"] or 0) or 1
     ta = int(totals["ta"] or 0) or 1
-    return (
-        hub.join(auth, "node")
-        .select(
-            "node",
-            (F.col("h").cast("double") / F.lit(float(th))).alias("hub"),
-            (F.col("a").cast("double") / F.lit(float(ta))).alias("authority"),
-        )
+    return scores.select(
+        "node",
+        (F.col("h").cast("double") / F.lit(float(th))).alias("hub"),
+        (F.col("a").cast("double") / F.lit(float(ta))).alias("authority"),
     )
 
 

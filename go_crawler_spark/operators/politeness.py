@@ -153,10 +153,14 @@ def allocate_host_budget(
     """
     from go_crawler_spark.operators.sequence import priority_schedule
 
+    # persisted: the W total, the Σfloor total, and the caller's final
+    # evaluation all read this host-level frame — (host, long) scalars,
+    # tiny next to the frontier, and without the cache the upstream host
+    # aggregation would run once per action
     w = hosts.select(
         F.col(host_col),
         F.greatest(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
-    )
+    ).persist()
     tot = w.agg(F.sum("_w").alias("tw")).first()
     total_w = int(tot["tw"] or 0)
     if total_w == 0 or budget <= 0:
@@ -185,19 +189,24 @@ def allocate_host_budget(
         ),
         ["_neg_rem", host_col],
         k=leftover,
-    ).select(F.col(host_col).alias("_win_host"))
+    ).select(
+        F.col(host_col).alias("_win_host"), F.lit(True).alias("_matched")
+    )
 
     return (
         base.join(
             F.broadcast(winners),
-            base[host_col] == winners["_win_host"],
+            # null-safe: a NULL host group (frontier rows whose host
+            # failed to parse) is a legitimate apportionment bucket; a
+            # plain == would drop its +1 and break Σ quota == budget
+            base[host_col].eqNullSafe(winners["_win_host"]),
             "left",
         )
         .select(
             host_col,
             (
                 F.col("_floor")
-                + F.when(F.col("_win_host").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("_matched"), 1).otherwise(0)
             ).cast("long").alias("quota"),
         )
     )

@@ -42,10 +42,15 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
     out_dir = str(tmp_path / "out")
 
     env = dict(os.environ)
-    # the package must resolve from the --py-files zip, not the checkout
+    # the package must resolve from the --py-files zip, not the checkout:
+    # strip PYTHONPATH AND run a COPY of main.py from tmp_path — python
+    # puts the primary script's directory on sys.path, so submitting
+    # REPO/main.py would silently let driver-side imports fall back to
+    # the checkout and a broken zip would go unnoticed
     env.pop("PYTHONPATH", None)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    shutil.copy(os.path.join(REPO, "main.py"), str(tmp_path / "main.py"))
 
     pr = subprocess.run(
         [
@@ -54,7 +59,7 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.sql.shuffle.partitions=4",
             "--py-files", zip_path,
-            os.path.join(REPO, "main.py"),
+            str(tmp_path / "main.py"),
             "--synthetic-pages", "48",
             "--max-count", "30",
             "--output", out_dir,

@@ -169,3 +169,14 @@ def test_host_budget_exactness_property(spark):
     for h, w in rows:
         fl = (w * budget) // tw
         assert got[h] in (fl, fl + 1), (h, w, fl, got[h])
+
+
+def test_host_budget_null_host_keeps_invariant(spark):
+    """A NULL host group (frontier rows whose host failed to parse) is a
+    legitimate bucket: its leftover +1 must not be dropped by a
+    null-unsafe join (sum(quota) == budget regression test)."""
+    # weights 1,1,1 with budget 7 -> floors 2 each, leftover 1 to the
+    # smallest host; NULL sorts first in Spark ordering, so NULL wins
+    got = _alloc(spark, [("a", 1), (None, 1), ("b", 1)], 7)
+    assert sum(v for v in got.values()) == 7
+    assert got[None] == 3 and got["a"] == 2 and got["b"] == 2
