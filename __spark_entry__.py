@@ -230,6 +230,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         return spark.table(qname).orderBy("doc_id")
 
+    def url_trap_census(spark, sf):
+        # spider-trap detection (operators/traps.py): URL-template census
+        # over the synthetic frontier plus an injected calendar trap —
+        # prolific + content-poor templates get flagged; the verdict is an
+        # integer comparison so the oracle reproduces it exactly
+        from go_crawler_spark.operators.traps import url_trap_census as census
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        organic = docs.select(
+            _synth_url("doc_id").alias("url"), F.md5("text").alias("fingerprint")
+        )
+        trap = docs.filter(d % 5 == 0).select(
+            F.concat(
+                F.lit("https://trap-site.org/cal/"),
+                (d * 3 + 1).cast("string"),
+                F.lit("/day/"),
+                (d % 12).cast("string"),
+            ).alias("url"),
+            F.md5((d % 2).cast("string")).alias("fingerprint"),
+        )
+        return census(organic.unionByName(trap), min_urls=20)
+
     def assets_collect_list(spark, sf):
         # T2 groupBy-collect_list (stringified for stable hashing)
         docs = _t(spark, sf, "documents")
@@ -1358,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkgraph_hits": linkgraph_hits,
         "host_budget_allocation": host_budget_allocation,
         "streaming_quality_scores": streaming_quality_scores,
+        "url_trap_census": url_trap_census,
         # -- previously driver-green (r2), original order --
         "dedup_exact_keep_min": dedup_exact_keep_min,
         "seen_anti_join": seen_anti_join,
@@ -1379,8 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
         "bpe_token_counts": bpe_token_counts,
-        "dedup_clusters": dedup_clusters,
         # ---- driver window (50) ends here; tail is r2-green rotation ----
+        "dedup_clusters": dedup_clusters,
         "corpus_prepare": corpus_prepare,
         "repetition_scores": repetition_scores,
         "quality_scores": quality_scores,
@@ -2203,6 +2227,38 @@ def oracle_sql() -> dict[str, str]:
                        AS term_rank
               FROM s)
             WHERE term_rank <= 3
+        """,
+        "url_trap_census": f"""
+            WITH u AS (
+              SELECT {_SYNTH_URL_SQL} AS url, md5(text) AS fp FROM documents
+              UNION ALL
+              SELECT 'https://trap-site.org/cal/' || CAST(doc_id*3+1 AS VARCHAR)
+                     || '/day/' || CAST(doc_id%12 AS VARCHAR) AS url,
+                     md5(CAST(doc_id % 2 AS VARCHAR)) AS fp
+              FROM documents WHERE doc_id % 5 = 0
+            ), p AS (
+              SELECT regexp_replace(string_split(string_split(url, '#')[1], '?')[1],
+                       '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest, fp
+              FROM u
+            ), t AS (
+              SELECT regexp_replace(lower(string_split(string_split(
+                         regexp_extract(rest, '^[^/?]*'), '@')[-1], ':')[1]),
+                       '\\.$', '')
+                     || regexp_replace(lower(
+                          CASE WHEN substr(rest, len(regexp_extract(rest, '^[^/?]*')) + 1) = ''
+                               THEN '/'
+                               ELSE substr(rest, len(regexp_extract(rest, '^[^/?]*')) + 1) END),
+                          '[0-9]+', '<d>', 'g') AS template,
+                     fp
+              FROM p
+            ), c AS (
+              SELECT template, count(*) AS n_urls,
+                     CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+              FROM t GROUP BY template
+            )
+            SELECT template, n_urls, n_distinct_fp,
+                   (n_urls >= 20 AND n_distinct_fp * 4 <= n_urls) AS is_trap
+            FROM c
         """,
         "host_budget_allocation": """
             WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w

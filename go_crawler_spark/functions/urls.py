@@ -457,3 +457,22 @@ def registrable_domain_expr(host):
     return F.when(F.size(labels) >= 2, F.array_join(F.slice(labels, -2, 2), ".")).otherwise(
         host
     )
+
+
+def url_template_expr(url):
+    """Crawler-trap URL template [EXTENSION — frontier hygiene]: host +
+    lower-cased path with every digit run collapsed to ``<d>`` (query and
+    fragment stripped). URLs minted by calendars, pagination, and numeric
+    session ids — the classic spider traps — collapse onto one template,
+    so a census over templates exposes them while legitimate document
+    trees keep distinct templates. Pure JVM string ops, whole-stage
+    codegen, mirrored verbatim in the ``url_trap_census`` oracle SQL."""
+    url = F.col(url) if isinstance(url, str) else url
+    no_query = F.split(F.split(url, "#", 2).getItem(0), r"\?", 2).getItem(0)
+    rest = F.regexp_replace(no_query, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    authority = F.regexp_extract(rest, r"^[^/?]*", 0)
+    path = F.substring(rest, F.length(authority) + F.lit(1), F.lit(1 << 30))
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    return F.concat(
+        surt_host_expr(url), F.regexp_replace(F.lower(path), "[0-9]+", "<d>")
+    )
