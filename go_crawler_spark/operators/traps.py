@@ -58,6 +58,32 @@ def url_trap_census(
     )
 
 
+def split_by_traps(
+    frontier: DataFrame, trap_templates: DataFrame, url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """(passed, trapped) split of a frontier against a trap-template table
+    — the crawl-loop form of :func:`trap_gate` (one broadcast left join
+    feeds both branches; the template list is census-sized, tiny next to
+    the frontier). ``trap_templates`` is either a raw (template) list or a
+    full :func:`url_trap_census` output (rows with ``is_trap`` false are
+    ignored)."""
+    tpl = trap_templates
+    if "is_trap" in tpl.columns:
+        tpl = tpl.filter(F.col("is_trap"))
+    traps = tpl.select("template").withColumn("_trap_hit", F.lit(True))
+    keyed = frontier.withColumn("_tpl", url_template_expr(F.col(url_col)))
+    joined = keyed.join(
+        F.broadcast(traps), keyed["_tpl"] == traps["template"], "left"
+    )
+    passed = joined.filter(F.col("_trap_hit").isNull()).drop(
+        "_tpl", "template", "_trap_hit"
+    )
+    trapped = joined.filter(F.col("_trap_hit")).drop(
+        "_tpl", "template", "_trap_hit"
+    )
+    return passed, trapped
+
+
 def trap_gate(frontier: DataFrame, census: DataFrame, url_col: str = "url") -> DataFrame:
     """Drop frontier rows whose URL template is a flagged trap — a
     broadcast anti-join on the (small) trap-template list, the same shape

@@ -89,6 +89,7 @@ from go_crawler_spark.operators.dedup import (
 )
 from go_crawler_spark.operators.fetch import fetch_hits, fetch_round
 from go_crawler_spark.operators.politeness import apply_robots, assign_fetch_slots
+from go_crawler_spark.operators.traps import split_by_traps
 from go_crawler_spark.operators.sequence import (
     SMALL_INPUT_ROWS,
     assign_seq_admit_budget_bucketed,
@@ -312,6 +313,7 @@ def resume_crawl(
     max_rounds: int = 1000,
     timing: Optional[dict] = None,
     host_slots: Optional[DataFrame] = None,
+    trap_templates: Optional[DataFrame] = None,
 ) -> CrawlResult:
     """Resume an interrupted crawl from its workdir checkpoint (C6
     [EXTENSION] — the north rule requires any round to be resumable).
@@ -332,7 +334,7 @@ def resume_crawl(
     return run_crawl(
         spark, pages, [], cfg, robots=robots, workdir=workdir,
         max_rounds=max_rounds, timing=timing, host_slots=host_slots,
-        _resume_from=man["round"] + 1,
+        trap_templates=trap_templates, _resume_from=man["round"] + 1,
     )
 
 
@@ -417,11 +419,17 @@ def run_crawl(
     max_rounds: int = 1000,
     timing: Optional[dict] = None,
     host_slots: Optional[DataFrame] = None,
+    trap_templates: Optional[DataFrame] = None,
     _resume_from: Optional[int] = None,
 ) -> CrawlResult:
     """Drive the BFS loop. ``pages`` is the (url, warc_ts, html, text, lang)
-    corpus; ``robots`` an optional (host, disallow_prefix) table.
-    Pass ``timing={}`` to collect per-phase wall-clock totals."""
+    corpus; ``robots`` an optional (host, disallow_prefix) table;
+    ``trap_templates`` an optional spider-trap table (a ``url_trap_census``
+    output or a raw (template) list — typically censused from a PRIOR
+    crawl's pages and fed back, the operational loop for traps) whose
+    matching frontier URLs are blocked with status ``skipped_trap``
+    (staying seen, like robots blocks). Pass ``timing={}`` to collect
+    per-phase wall-clock totals."""
 
     def _tick(phase: str, t0: float) -> float:
         t1 = time.perf_counter()
@@ -516,20 +524,29 @@ def run_crawl(
         t = time.perf_counter()
         seen = io.read(*seen_names).select("url")
 
-        # robots gate [EXTENSION]
-        if robots is not None:
-            allowed, blocked = apply_robots(frontier, robots)
-            io.write(
-                blocked.select(
-                    "url", "kind", "depth", "seq", "host",
-                    F.lit(rnd).alias("round"),
-                    F.lit("skipped_robots").alias("status"),
-                    F.lit(0).cast("long").alias("size"),
-                ),
-                f"blocked_{rnd}",
+        # spider-trap + robots gates [EXTENSION] — one blocked_{rnd} log
+        # for both (status column distinguishes); blocked URLs stay seen
+        def _blocked_log(df, status):
+            return df.select(
+                "url", "kind", "depth", "seq", "host",
+                F.lit(rnd).alias("round"),
+                F.lit(status).alias("status"),
+                F.lit(0).cast("long").alias("size"),
             )
-        else:
-            allowed = frontier
+
+        allowed = frontier
+        blocked_parts = []
+        if trap_templates is not None:
+            allowed, trapped = split_by_traps(allowed, trap_templates)
+            blocked_parts.append(_blocked_log(trapped, "skipped_trap"))
+        if robots is not None:
+            allowed, rblocked = apply_robots(allowed, robots)
+            blocked_parts.append(_blocked_log(rblocked, "skipped_robots"))
+        if blocked_parts:
+            blk = blocked_parts[0]
+            for b in blocked_parts[1:]:
+                blk = blk.unionByName(b)
+            io.write(blk, f"blocked_{rnd}")
         t = _tick("robots", t)
 
         # politeness split [EXTENSION]

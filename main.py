@@ -57,6 +57,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--table-backend", choices=("parquet", "iceberg", "auto"),
                    default=None, help="per-round state tables: parquet dirs "
                    "(default) or an Iceberg catalog (tableio.py)")
+    p.add_argument("--trap-templates", help="parquet of spider-trap "
+                   "templates (a url_trap_census output or a bare "
+                   "template column); matching frontier URLs are blocked "
+                   "with status skipped_trap")
     p.add_argument("--robots", help="parquet/csv path with "
                    "(host, disallow_prefix) rules, an RFC 9309 rules "
                    "table from parse_robots_rules, or a (host, body) "
@@ -155,10 +159,15 @@ def main(argv=None) -> None:
         print(f"compacted: {merged} enqueue delta tables merged into enqueue_0")
         return
 
+    trap_templates = (
+        spark.read.parquet(args.trap_templates) if args.trap_templates else None
+    )
+
     if args.resume:
         res = resume_crawl(spark, pages, cfg, args.resume,
                            robots=robots, max_rounds=args.max_rounds,
-                           host_slots=host_slots)
+                           host_slots=host_slots,
+                           trap_templates=trap_templates)
     else:
         if args.seeds_file:
             if args.seeds_file.endswith(".parquet") or os.path.isdir(args.seeds_file):
@@ -176,7 +185,8 @@ def main(argv=None) -> None:
         os.makedirs(args.output, exist_ok=True)
         res = run_crawl(spark, pages, seeds, cfg, robots=robots,
                         workdir=workdir, max_rounds=args.max_rounds,
-                        host_slots=host_slots)
+                        host_slots=host_slots,
+                        trap_templates=trap_templates)
 
     # publish the user-facing tables (S4 sink + schedule + metrics);
     # pages_out/fetched are None when no round produced a fetched_ log

@@ -57,3 +57,58 @@ def test_trap_gate_drops_only_flagged_templates(spark):
     census = url_trap_census(df, min_urls=20)
     kept = [r["url"] for r in trap_gate(df, census).collect()]
     assert kept == ["https://ok.com/about.html"]
+
+
+def test_crawl_trap_gate_end_to_end(spark, tmp_path):
+    """The operational trap loop: crawl once, census the output, feed the
+    flagged templates back — the recrawl blocks the trap family with
+    status skipped_trap (staying seen) and fetches everything else."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from go_crawler_spark.config import CrawlConfig
+    from go_crawler_spark.plans.crawl import run_crawl
+
+    epoch = dt.datetime(2024, 1, 1)
+
+    def page(url, links, text):
+        html = (
+            "<html><body>"
+            + "".join(f'<a href="{l}">x</a>' for l in links)
+            + f"<p>{text}</p></body></html>"
+        ).encode("utf-8")
+        return (url, epoch, html, text, "en")
+
+    trap_urls = [f"https://ex.com/cal/{i}" for i in range(24)]
+    rows = [
+        page("https://ex.com/", ["/about.html"] + trap_urls, "root page"),
+        page("https://ex.com/about.html", [], "about page unique"),
+    ] + [page(u, [], "identical trap body") for u in trap_urls]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    cfg = CrawlConfig(max_count=100)
+    first = run_crawl(spark, pages, ["https://ex.com/"], cfg)
+    assert first.pages_out.count() == 26  # everything fetched, trap included
+
+    census = url_trap_census(
+        first.pages_out.select("url", F.md5("text").alias("fingerprint")),
+        min_urls=20,
+    )
+    flagged = [r["template"] for r in census.filter("is_trap").collect()]
+    assert flagged == ["ex.com/cal/<d>"]
+
+    second = run_crawl(
+        spark, pages, ["https://ex.com/"], cfg, trap_templates=census
+    )
+    st = {r["url"]: r["status"] for r in second.fetched.collect()}
+    assert st["https://ex.com/"] == "ok"
+    assert st["https://ex.com/about.html"] == "ok"
+    assert all(st[u] == "skipped_trap" for u in trap_urls)
+    # trapped URLs stay seen (can never be re-enqueued), like robots blocks
+    seen = {r["url"] for r in second.seen.collect()}
+    assert set(trap_urls) <= seen
+    # and the pages sink holds only real fetches
+    assert second.pages_out.count() == 2
