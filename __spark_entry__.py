@@ -253,6 +253,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return census(organic.unionByName(trap), min_urls=20)
 
+    def corpus_drift_topk(spark, sf):
+        # recrawl QA (operators/dsir.py::distribution_drift): top hashed-
+        # bigram buckets by total-variation contribution between two
+        # corpus snapshots (even/odd doc ids stand in for crawl N and
+        # N+1) — all-integer drift terms, exact cross-engine
+        from go_crawler_spark.operators.dsir import distribution_drift
+
+        docs = _t(spark, sf, "documents")
+        return distribution_drift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            k=50,
+        )
+
     def assets_collect_list(spark, sf):
         # T2 groupBy-collect_list (stringified for stable hashing)
         docs = _t(spark, sf, "documents")
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_allocation": host_budget_allocation,
         "streaming_quality_scores": streaming_quality_scores,
         "url_trap_census": url_trap_census,
+        "corpus_drift_topk": corpus_drift_topk,
         # -- previously driver-green (r2), original order --
         "dedup_exact_keep_min": dedup_exact_keep_min,
         "seen_anti_join": seen_anti_join,
@@ -1402,8 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkgraph_pagerank": linkgraph_pagerank,
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
-        "bpe_token_counts": bpe_token_counts,
         # ---- driver window (50) ends here; tail is r2-green rotation ----
+        "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
         "corpus_prepare": corpus_prepare,
         "repetition_scores": repetition_scores,
@@ -2227,6 +2242,45 @@ def oracle_sql() -> dict[str, str]:
                        AS term_rank
               FROM s)
             WHERE term_rank <= 3
+        """,
+        "corpus_drift_topk": f"""
+            WITH ga AS (
+              SELECT substr(md5(gram), 1, 3) AS bucket, count(*) AS ca FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 1, 0)),
+                         i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM (SELECT {toks_norm} AS t FROM documents
+                      WHERE doc_id % 2 = 0))
+              GROUP BY bucket
+            ), gb AS (
+              SELECT substr(md5(gram), 1, 3) AS bucket, count(*) AS cb FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 1, 0)),
+                         i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM (SELECT {toks_norm} AS t FROM documents
+                      WHERE doc_id % 2 = 1))
+              GROUP BY bucket
+            ), tot AS (
+              SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM ga) AS na,
+                     (SELECT CAST(sum(cb) AS BIGINT) FROM gb) AS nb
+            ), j AS (
+              SELECT coalesce(ga.bucket, gb.bucket) AS bucket,
+                     CAST(coalesce(ca, 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(cb, 0) AS BIGINT) AS n_b
+              FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+            ), d AS (
+              SELECT bucket, n_a, n_b,
+                     CAST(abs(n_a * (SELECT nb FROM tot)
+                              - n_b * (SELECT na FROM tot)) AS BIGINT)
+                       AS drift_num
+              FROM j
+            )
+            SELECT bucket, n_a, n_b, drift_num, rank FROM (
+              SELECT bucket, n_a, n_b, drift_num,
+                     row_number() OVER (ORDER BY drift_num DESC, bucket)
+                       AS rank
+              FROM d)
+            WHERE rank <= 50
         """,
         "url_trap_census": f"""
             WITH u AS (

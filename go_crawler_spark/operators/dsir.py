@@ -188,3 +188,60 @@ def dsir_select(
         k=k,
     )
     return ranked.drop("_neg_score")
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bucket_hex: int = DEFAULT_BUCKET_HEX,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus drift monitor [EXTENSION — training-data ops]: the top-``k``
+    hashed-n-gram buckets by contribution to the total-variation distance
+    between two corpus snapshots' bag-of-ngrams distributions — the
+    recrawl-QA question "did the web (or the crawler) shift under us?".
+
+    Output (bucket, n_a, n_b, drift_num, rank): drift_num =
+    |n_a·N_b − n_b·N_a| is the bucket's UNNORMALIZED TV contribution as an
+    exact integer (TV distance itself = Σ drift_num / (2·N_a·N_b));
+    comparing integers sidesteps every cross-engine float trap, and the
+    ranking is identical to ranking by |p_a − p_b|.
+
+    Scale shape: each corpus contributes ONE bounded bucket census
+    (≤ 16^bucket_hex rows, map-side combined — same shape as
+    :func:`dsir_scores`); both censuses are collected and the whole drift
+    computation runs driver-side on exact ints (two corpus scans total, no
+    join, nothing persisted). drift_num needs N_a·max(n_b) < 2^63 — holds
+    to ~10^9-gram corpora per side; beyond that, compute in decimal.
+    """
+
+    def census(df: DataFrame) -> dict:
+        rows = (
+            df.select(
+                F.explode(gram_buckets(F.col(text_col), n, bucket_hex)).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        return {r["bucket"]: int(r["c"]) for r in rows}
+
+    ca, cb = census(a), census(b)
+    na, nb = sum(ca.values()), sum(cb.values())
+    drift = sorted(
+        (
+            (bk, ca.get(bk, 0), cb.get(bk, 0),
+             abs(ca.get(bk, 0) * nb - cb.get(bk, 0) * na))
+            for bk in set(ca) | set(cb)
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:k]
+    return a.sparkSession.createDataFrame(
+        [(bk, x, y, d, i + 1) for i, (bk, x, y, d) in enumerate(drift)],
+        "bucket string, n_a long, n_b long, drift_num long, rank long",
+    )

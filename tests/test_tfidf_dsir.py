@@ -180,3 +180,37 @@ def test_host_budget_null_host_keeps_invariant(spark):
     got = _alloc(spark, [("a", 1), (None, 1), ("b", 1)], 7)
     assert sum(v for v in got.values()) == 7
     assert got[None] == 3 and got["a"] == 2 and got["b"] == 2
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (operators/dsir.py::distribution_drift)
+# ---------------------------------------------------------------------------
+
+
+def test_distribution_drift_identical_corpora_is_zero(spark):
+    from go_crawler_spark.operators.dsir import distribution_drift
+
+    docs = _docs(spark, [(i, "alpha beta gamma delta", "en") for i in range(6)])
+    got = distribution_drift(docs, docs, k=10).collect()
+    assert got and all(r["drift_num"] == 0 for r in got)
+
+
+def test_distribution_drift_ranks_shifted_grams_first(spark):
+    from go_crawler_spark.operators.dsir import distribution_drift
+
+    # both corpora share "common words"; corpus b adds a gram a never has
+    a = _docs(spark, [(i, "common words here", "en") for i in range(5)])
+    b = _docs(
+        spark,
+        [(i, "common words here", "en") for i in range(5)]
+        + [(9, "novel junk", "en")],
+    )
+    got = distribution_drift(a, b, k=3).collect()
+    by_rank = sorted(got, key=lambda r: r["rank"])
+    # rank 1 = the bucket only b has: n_a = 0, n_b > 0
+    assert by_rank[0]["n_a"] == 0 and by_rank[0]["n_b"] == 1
+    # exact integer invariant: drift_num == |n_a*Nb - n_b*Na|
+    na = 5 * 2  # 3 tokens -> 2 bigrams per doc
+    nb = 5 * 2 + 1
+    for r in got:
+        assert r["drift_num"] == abs(r["n_a"] * nb - r["n_b"] * na)
