@@ -62,12 +62,6 @@ def gram_buckets(
     )
 
 
-def _bucket_counts(exploded: DataFrame) -> DataFrame:
-    """(bucket, cnt) from an exploded (doc_id, bucket) frame — one
-    map-side-combined agg, ≤ B result rows."""
-    return exploded.groupBy("bucket").agg(F.count("*").alias("cnt"))
-
-
 def dsir_scores(
     df: DataFrame,
     target_pred,
