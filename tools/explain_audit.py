@@ -252,6 +252,22 @@ def main() -> None:
         {"BroadcastHashJoin": True, "SortMergeJoin": False},
     )
 
+    # 14. spider-trap census → the template is computed map-side; the
+    # exchange carries (template, fingerprint) pairs, never the URL string
+    from go_crawler_spark.operators.traps import url_trap_census
+
+    trap_in = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com/p/"), F.col("doc_id").cast("string")).alias("url"),
+        F.md5("text").alias("fingerprint"),
+    )
+    audit_custom(
+        "url_trap_census (template map-side; url never shuffles)",
+        url_trap_census(trap_in),
+        "no Exchange input carries the url column",
+        lambda p: exchanges_exclude(p, "url#"),
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
