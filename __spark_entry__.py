@@ -48,6 +48,57 @@ _NORM_SQL = (
 _TOKS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
 
 
+def _rotate_by_driver_staleness(
+    qdict: dict[str, Callable],
+    here: str | None = None,
+) -> dict[str, Callable]:
+    """Order ``queries()`` so the driver's correctness gate (which hashes
+    only the FIRST 50 dict entries each round) always grades the stalest
+    entries first.
+
+    Staleness is computed mechanically from the committed
+    ``CORRECTNESS_r*.json`` files next to this module: an entry's key is
+    the latest round in which the driver verified it GREEN (hash match, or
+    a clean rows-only check for entries without an oracle). Never-green →
+    -1, so brand-new queries and past red cells enter the window
+    immediately. Ascending sort with the canonical dict order as the
+    stable tie-break guarantees every entry gets a fresh driver row at
+    least every ``ceil(W/(L-W))+1`` rounds (L≈79 entries, W=50 window →
+    every 2 rounds), with no hand-curated ordering to go stale (round-3
+    VERDICT ask #2). The rotated tail is still verified every pytest run
+    by tests/test_queries_oracle.py (all entries, sf0.001) and on demand
+    by tools/oracle_check.py (all entries, sf0.01)."""
+    import glob
+    import json
+    import re
+
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                results = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in results.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, -1), rnd)
+    canon = {n: i for i, n in enumerate(qdict)}
+    ordered = sorted(qdict, key=lambda n: (last_green.get(n, -1), canon[n]))
+    return {n: qdict[n] for n in ordered}
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -1335,7 +1386,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         media = synthetic_media_df(spark, 64, seed=42)
-        return frame_sample(media, every_ms=1000)
+        # raw binary is un-hashable by the driver's pandas canonicalizer
+        # (r1-r3 red cell: TypeError unhashable bytearray) — project hex
+        return frame_sample(media, every_ms=1000).select(
+            "media_id",
+            "ts_ms",
+            F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+        )
 
     def multimodal_features(spark, sf):
         from go_crawler_spark.operators.multimodal import (
@@ -1355,14 +1412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
-    # dict entries in insertion order. Round 2 left 19 entries past that
-    # window with no driver hash row ever (incl. the flagship crawl), and 3
-    # entries red on a DuckDB HUGEINT→float64 type artifact (fixed this
-    # round). So: never-driver-checked entries first, then the 3 fixed ones,
-    # then previously-green entries in original order (the long-green tail
-    # rotates past 50; it stays verifiable via tools/oracle_check.py, which
-    # always runs all entries).
-    return {
+    # dict entries in insertion order. The dict below is the CANONICAL
+    # order (a stable tie-break only); the actual insertion order handed to
+    # the driver is computed by _rotate_by_driver_staleness, which reads
+    # the committed CORRECTNESS_r*.json files and fronts never-green and
+    # least-recently-green entries — every entry gets a driver row at
+    # least every 2 rounds with nothing hand-curated.
+    _all = {
         # -- 19 entries with no driver hash row in r1/r2 (were pos 51-69) --
         "crawl_flagship": crawl_flagship,
         "crawl_extract_children": crawl_extract_children,
@@ -1447,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "surt_keys": surt_keys,
     }
+    return _rotate_by_driver_staleness(_all)
 
 
 # ---------------------------------------------------------------------------
@@ -2717,7 +2774,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{fix}/multimodal_features.parquet')
         """,
         "multimodal_frame_sample": f"""
-            SELECT media_id, ts_ms, frame_bytes
+            SELECT media_id, ts_ms, lower(hex(frame_bytes)) AS frame_hex
             FROM read_parquet('{fix}/multimodal_frames.parquet')
         """,
     }
