@@ -61,3 +61,134 @@ def test_semdedup_threshold_one_keeps_exact_dups_only(spark):
     assert got == {10: True, 11: False, 12: True}
     # sanity: normalized dup cosine is exactly 1
     assert math.isclose(0.5 / math.sqrt(0.5), math.sqrt(0.5))
+
+
+# ---------------------------------------------------------------------------
+# round-4 scale fixes: blocked similarity kernel, vectorized components,
+# and the max_cluster_rows split path (VERDICT r3 "what's wrong #2")
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from go_crawler_spark.operators.semdedup import (
+    blocked_adjacency,
+    min_label_components,
+    normalize_rows,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(2, 8), st.integers(0, 2**31 - 1))
+def test_blocked_adjacency_matches_dense(n, d, seed):
+    rng = np.random.default_rng(seed)
+    m = normalize_rows(rng.normal(size=(n, d)))
+    thr = 0.5
+    dense = (m[:, None, :] * m[None, :, :]).sum(axis=2) >= thr
+    # absurdly small budget forces many tiny tiles
+    assert np.array_equal(blocked_adjacency(m, thr, tile_budget_bytes=64), dense)
+    assert np.array_equal(blocked_adjacency(m, thr), dense)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 60), st.floats(0.0, 1.0), st.integers(0, 2**31 - 1))
+def test_min_label_components_vs_union_find(n, density, seed):
+    rng = np.random.default_rng(seed)
+    adj = rng.random((n, n)) < density
+    adj = adj | adj.T
+    np.fill_diagonal(adj, True)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if adj[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    expect = np.asarray([find(i) for i in range(n)])
+    assert np.array_equal(min_label_components(adj), expect)
+
+
+def test_min_label_components_path_graph_log_rounds():
+    # worst diameter: a path — the pointer-jumping kernel must still
+    # produce min-index labels (and not need O(n) hooking rounds to finish
+    # inside the test timeout)
+    n = 2048
+    adj = np.zeros((n, n), dtype=bool)
+    idx = np.arange(n - 1)
+    adj[idx, idx + 1] = adj[idx + 1, idx] = True
+    assert (min_label_components(adj) == 0).all()
+
+
+def test_semdedup_giant_skewed_cluster_kmeans_split(spark):
+    # one k-means cluster (k=1) holding three orthogonal near-dup bundles,
+    # each larger than the cap: the sub-k-means split must engage, every
+    # prune task stays <= cap, and per-bundle min ids still win (ids are
+    # interleaved so the 3 smallest ids cover the 3 bundles = the split's
+    # sub-centroids)
+    import pandas as pd
+
+    bundle = 60
+    cap = 70
+    rows = []
+    for i in range(3 * bundle):
+        axis = i % 3
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = 1.0
+        v[3] = 1e-4 * (i // 3)  # tiny jitter, keeps cosine ~1 in-bundle
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semdedup(
+        df, k=1, n_iters=2, threshold=0.9,
+        max_cluster_rows=cap, max_split_rounds=3,
+    ).toPandas()
+    assert len(got) == 3 * bundle
+    assert sorted(got["vec_id"]) == list(range(3 * bundle))
+    kept = set(got[got["keep"]]["vec_id"])
+    # each bundle's min id (0,1,2) survives; bundles are near-dup chains
+    assert {0, 1, 2} <= kept
+    # splitting may under-prune across sub-groups but never over-prunes:
+    # kept rows per bundle bounded by number of sub-groups it spans
+    assert len(kept) <= 3 * (-(-bundle // cap) + 1)
+
+
+def test_semdedup_identical_vectors_salt_fallback(spark):
+    # all vectors identical: sub-k-means cannot make progress (everything
+    # hooks to sub-centroid 0), so the terminal salt split must bound the
+    # task size; the global min id is kept and over-retention is bounded
+    # by the chunk count
+    n, cap = 120, 16
+    df = spark.createDataFrame(
+        [(i, [0.6, 0.8]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = semdedup(
+        df, k=1, n_iters=1, threshold=0.99,
+        max_cluster_rows=cap, max_split_rounds=2,
+    ).toPandas()
+    assert len(got) == n
+    kept = sorted(got[got["keep"]]["vec_id"])
+    assert kept[0] == 0
+    assert len(kept) <= -(-n // cap)  # one keeper per salt chunk max
+
+
+def test_split_oversized_bounds_every_group(spark):
+    from pyspark.sql import functions as F
+    from go_crawler_spark.operators.semdedup import _split_oversized
+
+    n, cap = 300, 32
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0, 0) for i in range(n)],
+        "_id long, _v array<double>, _c int, _sub long",
+    )
+    out = _split_oversized(df, cap, max_split_rounds=2)
+    sizes = out.groupBy("_c", "_sub").count().collect()
+    assert all(r["count"] <= cap for r in sizes)
+    assert out.count() == n
