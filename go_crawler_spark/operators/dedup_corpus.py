@@ -635,9 +635,14 @@ def connected_components(
         stats["rounds"] = rounds
 
     # at the fixed point every edge is (member, component-min); roots and
-    # self-loop-only nodes carry no outgoing edge and label themselves
-    return nodes.join(
-        e.select(F.col("u").alias("node"), F.col("v").alias("_comp")),
-        "node",
-        "left",
-    ).select("node", F.coalesce("_comp", F.col("node")).alias("component"))
+    # self-loop-only nodes carry no outgoing edge and label themselves.
+    # The min() is a no-op once converged but keeps the one-row-per-node
+    # contract if max_iter exhausted with multiple outgoing edges left
+    # (labels may then be a reachable min rather than the global min —
+    # still deterministic, never duplicated).
+    labels = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("_comp")
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("_comp", F.col("node")).alias("component")
+    )

@@ -208,8 +208,10 @@ def distribution_drift(
     (≤ 16^bucket_hex rows, map-side combined — same shape as
     :func:`dsir_scores`); both censuses are collected and the whole drift
     computation runs driver-side on exact ints (two corpus scans total, no
-    join, nothing persisted). drift_num needs N_a·max(n_b) < 2^63 — holds
-    to ~10^9-gram corpora per side; beyond that, compute in decimal.
+    join, nothing persisted). The python-side math is arbitrary-precision;
+    the int64 output column is runtime-guarded — drift_num ≥ 2^63 (reached
+    around 10^9+ grams per side at default bucket width) raises with the
+    remediation instead of wrapping silently.
     """
 
     def census(df: DataFrame) -> dict:
@@ -226,6 +228,16 @@ def distribution_drift(
         return {r["bucket"]: int(r["c"]) for r in rows}
 
     ca, cb = census(a), census(b)
+    return a.sparkSession.createDataFrame(
+        drift_topk_rows(ca, cb, k),
+        "bucket string, n_a long, n_b long, drift_num long, rank long",
+    )
+
+
+def drift_topk_rows(ca: dict, cb: dict, k: int) -> list:
+    """Driver-side exact-integer drift ranking (see
+    :func:`distribution_drift`). Python ints never overflow; the guard
+    protects the int64 column the result is published through."""
     na, nb = sum(ca.values()), sum(cb.values())
     drift = sorted(
         (
@@ -235,7 +247,11 @@ def distribution_drift(
         ),
         key=lambda t: (-t[3], t[0]),
     )[:k]
-    return a.sparkSession.createDataFrame(
-        [(bk, x, y, d, i + 1) for i, (bk, x, y, d) in enumerate(drift)],
-        "bucket string, n_a long, n_b long, drift_num long, rank long",
-    )
+    if drift and drift[0][3] >= 1 << 63:
+        raise OverflowError(
+            "distribution_drift: drift_num "
+            f"{drift[0][3]} exceeds int64 (N_a={na}, N_b={nb}); "
+            "rank fewer grams per side (raise n / lower bucket_hex), "
+            "census a sample, or publish through a decimal(38,0) column"
+        )
+    return [(bk, x, y, d, i + 1) for i, (bk, x, y, d) in enumerate(drift)]

@@ -102,6 +102,33 @@ def test_components_self_loops_and_isolated(spark):
     assert got == {7: 7, 1: 1, 2: 1}
 
 
+def test_components_exhausted_iterations_one_row_per_node(spark):
+    """max_iter exhaustion contract: when the star loop stops before the
+    fixed point, a node can still hold multiple outgoing edges — the final
+    per-node min() must collapse them to exactly one deterministic label
+    per node (the old left-join emitted duplicate conflicting rows)."""
+    from go_crawler_spark.operators.dedup_corpus import connected_components
+
+    n = 1 << 7  # path of 128 nodes; one round is nowhere near converged
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    rows = connected_components(edges, max_iter=1).collect()
+    labels = {}
+    for r in rows:
+        assert r["node"] not in labels, "duplicate (node, component) row"
+        labels[r["node"]] = r["component"]
+    assert set(labels) == set(range(n))
+    # labels are a reachable min: never above the node itself
+    assert all(comp <= node for node, comp in labels.items())
+    # determinism across plans
+    again = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert again == labels
+
+
 def test_hits_hand_computed(spark):
     """HITS on the classic 3-node graph, n_iter=2, checked against
     hand-run integer power iterations (hub_0=1; a_k = in-sum of h_{k-1};

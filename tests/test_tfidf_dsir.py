@@ -214,3 +214,19 @@ def test_distribution_drift_ranks_shifted_grams_first(spark):
     nb = 5 * 2 + 1
     for r in got:
         assert r["drift_num"] == abs(r["n_a"] * nb - r["n_b"] * na)
+
+
+def test_drift_overflow_guard_at_int64_boundary():
+    """drift_num == 2^63 must raise (int64 column would wrap silently);
+    2^63 - 2^31 — one census step below — must pass. Driver-side pure
+    python, no Spark needed: drift_num for disjoint single-bucket censuses
+    {x: X} vs {y: Y} is X*Y on both buckets."""
+    import pytest
+
+    from go_crawler_spark.operators.dsir import drift_topk_rows
+
+    x = 1 << 31
+    ok = drift_topk_rows({"x": x}, {"y": (1 << 32) - 1}, k=2)
+    assert [r[3] for r in ok] == [(1 << 63) - (1 << 31)] * 2
+    with pytest.raises(OverflowError, match="exceeds int64"):
+        drift_topk_rows({"x": x}, {"y": 1 << 32}, k=2)
