@@ -108,12 +108,15 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
     oracle reproduces the fixed point bit for bit; the single final
     division by the exact integer L1 total is IEEE-exact in any engine.
     Mathematically this is classic HITS with normalization deferred to
-    the end (scaling commutes with the linear updates). With int64
-    accumulators the counts grow like (avg degree)^{2·n_iter}·N, so keep
-    n_iter small (2-4, where HITS rankings stabilize on web graphs) — at
-    10^10 nodes and degree ~30, n_iter=4 still fits int64 only if degree
-    stays moderate; for more iterations switch the accumulator to
-    decimal(38,0) (same exactness, wider).
+    the end (scaling commutes with the linear updates). Counts grow like
+    (avg degree)^{2·n_iter}·N, so the accumulators are decimal(38,0) —
+    exact to 10^38, roomy for n_iter 2-4 (where HITS rankings stabilize
+    on web graphs) at any web degree — and overflow FAILS LOUDLY instead
+    of wrapping: a decimal sum that overflows yields NULL in non-ANSI
+    Spark, and a NULL sum under a non-NULL group key can mean nothing
+    else (join-miss nulls never reach the aggregator), so the iteration
+    raises right there; the final L1 totals get the same driver-side
+    check.
 
     Scale shape: each half-iteration is edges ⋈ scores (shuffle on one
     endpoint) → agg on the other — the same iterative-join workload as
@@ -123,7 +126,27 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
     if n_iter < 1:
         raise ValueError("hits() needs n_iter >= 1 (authority is undefined "
                          "before the first in-sum)")
-    hub = nodes.withColumn("h", F.lit(1).cast("long"))
+    acc = "decimal(38,0)"
+
+    def _guarded(group_key, val_col, name):
+        # group_key non-null + NULL sum == decimal overflow (path counts
+        # are never null going in); join-miss rows have a null group_key
+        # and legitimately score 0
+        return (
+            F.when(
+                group_key.isNotNull() & F.col(val_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"hits(): {name} path count overflowed "
+                        "decimal(38,0) — lower n_iter (rankings "
+                        "stabilize by 2-4 on web graphs)"
+                    )
+                ).cast(acc),
+            )
+            .otherwise(F.coalesce(F.col(val_col), F.lit(0)).cast(acc))
+        )
+
+    hub = nodes.withColumn("h", F.lit(1).cast(acc))
     auth = None
     for i in range(n_iter):
         a_in = (
@@ -132,7 +155,7 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
             .agg(F.sum("h").alias("a"))
         )
         auth = nodes.join(a_in, nodes["node"] == a_in["dst"], "left").select(
-            "node", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+            "node", _guarded(a_in["dst"], "a", "authority").alias("a")
         )
         h_out = (
             edges.join(auth, edges["dst"] == auth["node"])
@@ -140,7 +163,7 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
             .agg(F.sum("a").alias("h"))
         )
         hub = nodes.join(h_out, nodes["node"] == h_out["src"], "left").select(
-            "node", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+            "node", _guarded(h_out["src"], "h", "hub").alias("h")
         )
         if (i + 1) % 5 == 0 and i + 1 < n_iter:
             hub = hub.localCheckpoint(eager=True)
@@ -151,8 +174,13 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
     # persists `weighted`)
     scores = hub.join(auth, "node").persist()
     totals = scores.agg(
-        F.sum("h").alias("th"), F.sum("a").alias("ta")
+        F.sum("h").alias("th"), F.sum("a").alias("ta"), F.count("*").alias("n")
     ).first()
+    if int(totals["n"]) > 0 and (totals["th"] is None or totals["ta"] is None):
+        scores.unpersist()
+        raise OverflowError(
+            "hits(): L1 total overflowed decimal(38,0) — lower n_iter"
+        )
     th = int(totals["th"] or 0) or 1
     ta = int(totals["ta"] or 0) or 1
     return scores.select(

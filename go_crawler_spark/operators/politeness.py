@@ -125,6 +125,7 @@ def allocate_host_budget(
     budget: int,
     host_col: str = "host",
     weight_col: str = "weight",
+    broadcast_winners_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment of a global page budget
     across hosts [EXTENSION — north rule "per-host politeness buckets" +
@@ -149,18 +150,32 @@ def allocate_host_budget(
     :func:`go_crawler_spark.operators.sequence.priority_schedule`'s
     range-partitioned two-pass (no single-task ordered merge — the host
     table at web scale is 10^8-10^9 rows); the +1 winners re-join the
-    quota table by host hash. Weights ≤ 0 are treated as 0 (no quota).
+    quota table by host hash — broadcast only while ``leftover`` ≤
+    ``broadcast_winners_max_rows`` (leftover can approach the host count
+    under near-uniform remainders; a forced broadcast of 10^8 winners
+    would kill the driver), shuffle hash join above it. The cached host
+    frame is registered with
+    :func:`go_crawler_spark.operators.sequence.release_pending_caches`;
+    call it after materializing the result (the crawl loop already does
+    per round). Weights ≤ 0 are treated as 0 (no quota).
     """
-    from go_crawler_spark.operators.sequence import priority_schedule
+    from go_crawler_spark.operators.sequence import (
+        _PENDING_CACHES,
+        priority_schedule,
+    )
 
     # persisted: the W total, the Σfloor total, and the caller's final
     # evaluation all read this host-level frame — (host, long) scalars,
     # tiny next to the frontier, and without the cache the upstream host
-    # aggregation would run once per action
+    # aggregation would run once per action. Registered in _PENDING_CACHES
+    # so release_pending_caches() (which the crawl loop already calls after
+    # materializing each round) frees it — a bare persist leaked one cached
+    # frame per call across repeated per-round invocations.
     w = hosts.select(
         F.col(host_col),
         F.greatest(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
     ).persist()
+    _PENDING_CACHES.append(w)
     tot = w.agg(F.sum("_w").alias("tw")).first()
     total_w = int(tot["tw"] or 0)
     if total_w == 0 or budget <= 0:
@@ -192,10 +207,15 @@ def allocate_host_budget(
     ).select(
         F.col(host_col).alias("_win_host"), F.lit(True).alias("_matched")
     )
+    # leftover < host count but CAN approach it (near-uniform remainders on
+    # a 10^8-host table): only force the broadcast when the winner set is
+    # driver-safe; above the bound let the planner hash-join on host
+    if leftover <= broadcast_winners_max_rows:
+        winners = F.broadcast(winners)
 
     return (
         base.join(
-            F.broadcast(winners),
+            winners,
             # null-safe: a NULL host group (frontier rows whose host
             # failed to parse) is a legitimate apportionment bucket; a
             # plain == would drop its +1 and break Σ quota == budget

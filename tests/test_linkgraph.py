@@ -156,3 +156,33 @@ def test_hits_isolated_node_scores_zero(spark):
     got = {r["node"]: (r["hub"], r["authority"]) for r in hits(nodes, edges).collect()}
     assert got[9] == (0.0, 0.0)
     assert got[0][0] > 0.0 and got[1][1] > 0.0
+
+
+def test_hits_overflow_fails_loudly(spark):
+    """Path counts past decimal(38,0) must raise, never wrap or zero out:
+    on the complete digraph over n nodes every half-iteration multiplies
+    the count by n-1, so n=101, n_iter=10 reaches 100^20 = 10^40 > 10^38.
+    Two failure layers, both loud: ANSI-on Spark (the 4.x default) raises
+    ARITHMETIC_OVERFLOW in the sum itself; ANSI-off sums yield NULL and
+    hits()' own guard raises. int64 accumulators wrapped silently under
+    ANSI-off — the bug this pins."""
+    import pytest
+
+    from go_crawler_spark.operators.linkgraph import hits
+
+    n = 101
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = (
+        spark.range(n)
+        .select(F.col("id").alias("src"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            with pytest.raises(Exception, match="(?i)overflow"):
+                hits(nodes, edges, n_iter=10).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)

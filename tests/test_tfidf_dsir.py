@@ -121,11 +121,11 @@ def test_dsir_select_topk_order_and_seq(spark):
 # ---------------------------------------------------------------------------
 
 
-def _alloc(spark, rows, budget):
+def _alloc(spark, rows, budget, **kw):
     from go_crawler_spark.operators.politeness import allocate_host_budget
 
     hosts = spark.createDataFrame(rows, "host string, weight long")
-    got = allocate_host_budget(hosts, budget).collect()
+    got = allocate_host_budget(hosts, budget, **kw).collect()
     return {r["host"]: r["quota"] for r in got}
 
 
@@ -180,6 +180,30 @@ def test_host_budget_null_host_keeps_invariant(spark):
     got = _alloc(spark, [("a", 1), (None, 1), ("b", 1)], 7)
     assert sum(v for v in got.values()) == 7
     assert got[None] == 3 and got["a"] == 2 and got["b"] == 2
+
+
+def test_host_budget_hash_join_path_matches_broadcast(spark):
+    """broadcast_winners_max_rows=0 forces the non-broadcast winners join
+    (the 10^8-host safety valve); allocation must be identical."""
+    rows = [(f"h{i:02d}", (i * 7919) % 113 + 1) for i in range(40)]
+    assert _alloc(spark, rows, 1000, broadcast_winners_max_rows=0) == _alloc(
+        spark, rows, 1000
+    )
+
+
+def test_host_budget_releases_its_cache(spark):
+    """allocate_host_budget persists the host-weight frame; it must be
+    freed by release_pending_caches() (per-round calls previously leaked
+    one cached frame each) — including the total_w==0 early return."""
+    from go_crawler_spark.operators.sequence import release_pending_caches
+
+    release_pending_caches()
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    _alloc(spark, [("a", 5), ("b", 3), ("c", 1)], 10)
+    _alloc(spark, [("a", 0), ("b", 0)], 5)  # early-return path
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+    release_pending_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
 
 
 # ---------------------------------------------------------------------------
