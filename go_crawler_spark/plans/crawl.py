@@ -314,6 +314,8 @@ def resume_crawl(
     timing: Optional[dict] = None,
     host_slots: Optional[DataFrame] = None,
     trap_templates: Optional[DataFrame] = None,
+    trap_refresh_rounds: int = 0,
+    trap_min_urls: int = 20,
 ) -> CrawlResult:
     """Resume an interrupted crawl from its workdir checkpoint (C6
     [EXTENSION] — the north rule requires any round to be resumable).
@@ -322,7 +324,9 @@ def resume_crawl(
     (⇒ seen set, schedule, seq counter), the manifest (round, counters),
     and the current frontier (recomputed from enqueue ∪ fetch logs:
     admitted items not yet fetched). The bloom filter is rebuilt from the
-    enqueue tables.
+    enqueue tables; with ``trap_refresh_rounds`` enabled the persisted
+    ``trap_census`` table re-arms the trap gate before the first resumed
+    round.
     """
     from go_crawler_spark.tableio import make_tableio
 
@@ -334,7 +338,10 @@ def resume_crawl(
     return run_crawl(
         spark, pages, [], cfg, robots=robots, workdir=workdir,
         max_rounds=max_rounds, timing=timing, host_slots=host_slots,
-        trap_templates=trap_templates, _resume_from=man["round"] + 1,
+        trap_templates=trap_templates,
+        trap_refresh_rounds=trap_refresh_rounds,
+        trap_min_urls=trap_min_urls,
+        _resume_from=man["round"] + 1,
     )
 
 
@@ -420,16 +427,32 @@ def run_crawl(
     timing: Optional[dict] = None,
     host_slots: Optional[DataFrame] = None,
     trap_templates: Optional[DataFrame] = None,
+    trap_refresh_rounds: int = 0,
+    trap_min_urls: int = 20,
     _resume_from: Optional[int] = None,
 ) -> CrawlResult:
     """Drive the BFS loop. ``pages`` is the (url, warc_ts, html, text, lang)
     corpus; ``robots`` an optional (host, disallow_prefix) table;
     ``trap_templates`` an optional spider-trap table (a ``url_trap_census``
-    output or a raw (template) list — typically censused from a PRIOR
-    crawl's pages and fed back, the operational loop for traps) whose
-    matching frontier URLs are blocked with status ``skipped_trap``
-    (staying seen, like robots blocks). Pass ``timing={}`` to collect
-    per-phase wall-clock totals."""
+    output or a raw (template) list — e.g. censused from a PRIOR crawl's
+    pages) whose matching frontier URLs are blocked with status
+    ``skipped_trap`` (staying seen, like robots blocks).
+
+    ``trap_refresh_rounds=R`` (0 = off) closes the trap loop IN-CRAWL: every
+    R rounds the fetched-so-far log is re-censused
+    (:func:`go_crawler_spark.operators.traps.url_trap_census` over the
+    ``fingerprint`` column J1 stamps on every fetched row) and flagged
+    templates join the gate — a trap that emerges mid-crawl is cut off at
+    the next refresh without an operator round-trip or a restart. The
+    census scans only (url, fingerprint) — column-pruned parquet, never
+    page bytes — and its bounded output checkpoints as ``trap_census``, so
+    ``resume_crawl`` restores the gate and per-round gating reads the tiny
+    table instead of re-censusing. Refresh cost is one column-pruned scan
+    of the fetched log every R rounds — pick R to amortize (the gate keeps
+    a 10^10-URL frontier from burning budget on minted URLs, which the
+    reference cannot do at all: internal/queue.go:101-106 just fills up).
+
+    Pass ``timing={}`` to collect per-phase wall-clock totals."""
 
     def _tick(phase: str, t0: float) -> float:
         t1 = time.perf_counter()
@@ -449,6 +472,23 @@ def run_crawl(
 
     politeness_mode = (cfg.host_slots_per_round > 0 or robots is not None
                        or host_slots is not None)
+
+    # trap gate state: external templates (normalized to a template list)
+    # ∪ the latest in-loop census; a persisted trap_census (resume, or a
+    # prior refresh in this workdir) re-arms the gate immediately
+    external_traps = None
+    if trap_templates is not None:
+        ext = trap_templates
+        if "is_trap" in ext.columns:
+            ext = ext.filter(F.col("is_trap"))
+        external_traps = ext.select("template")
+    trap_gate_tbl = external_traps
+    if trap_refresh_rounds > 0 and io.exists("trap_census"):
+        saved = io.read("trap_census").select("template")
+        trap_gate_tbl = (
+            saved if external_traps is None
+            else external_traps.unionByName(saved).distinct()
+        )
 
     if _resume_from is None:
         t = time.perf_counter()
@@ -522,6 +562,39 @@ def run_crawl(
         n_frontier = frontier.count()
     while rnd < max_rounds and n_frontier > 0:
         t = time.perf_counter()
+
+        # [EXTENSION] in-loop trap refresh: re-census the fetched log every
+        # trap_refresh_rounds rounds; the scan is column-pruned to
+        # (url, fingerprint) and the exchange carries (template,
+        # fingerprint) pairs only (PLANS.md trap-census shape); the bounded
+        # flagged set checkpoints as trap_census (crash-safe replace) so
+        # resume restores the gate and the per-round broadcast join below
+        # reads a tiny table instead of recomputing the census
+        if (trap_refresh_rounds > 0 and rnd > 0
+                and rnd % trap_refresh_rounds == 0):
+            fetched_logs = io.list_names("fetched_")
+            if fetched_logs:
+                from go_crawler_spark.operators.traps import url_trap_census
+
+                fp_log = (
+                    io.read(*fetched_logs)
+                    .filter(F.col("fingerprint").isNotNull())
+                    .select("url", "fingerprint")
+                )
+                flagged = url_trap_census(
+                    fp_log, min_urls=trap_min_urls
+                ).filter(F.col("is_trap"))
+                if io.exists("trap_census"):
+                    io.replace(flagged, "trap_census", cfg.retry)
+                else:
+                    io.write(flagged, "trap_census", cfg.retry)
+                auto = io.read("trap_census").select("template")
+                trap_gate_tbl = (
+                    auto if external_traps is None
+                    else external_traps.unionByName(auto).distinct()
+                )
+            t = _tick("trap_refresh", t)
+
         seen = io.read(*seen_names).select("url")
 
         # spider-trap + robots gates [EXTENSION] — one blocked_{rnd} log
@@ -536,8 +609,8 @@ def run_crawl(
 
         allowed = frontier
         blocked_parts = []
-        if trap_templates is not None:
-            allowed, trapped = split_by_traps(allowed, trap_templates)
+        if trap_gate_tbl is not None:
+            allowed, trapped = split_by_traps(allowed, trap_gate_tbl)
             blocked_parts.append(_blocked_log(trapped, "skipped_trap"))
         if robots is not None:
             allowed, rblocked = apply_robots(allowed, robots)
@@ -586,7 +659,11 @@ def run_crawl(
             "url", F.when(is_parsed_page, F.col("html"))
         )
         fetched = (
-            fetched.withColumn("_p", parsed)
+            fetched
+            # content fingerprint of the PRE-rewrite bytes (JVM md5, rides
+            # the write) — feeds the in-loop trap census; null = not fetched
+            .withColumn("fingerprint", F.md5(F.col("html")))
+            .withColumn("_p", parsed)
             .withColumn(
                 "children",
                 F.when(

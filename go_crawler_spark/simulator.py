@@ -23,6 +23,8 @@ depth, seq, fetch round), statuses, and final seen set bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
+import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -50,6 +52,23 @@ class SimResult:
     schedule: List[SimItem] = field(default_factory=list)  # enqueued items, seq order
     seen: set = field(default_factory=set)
     metrics: List[dict] = field(default_factory=list)      # one dict per round
+
+
+def url_template(url: str) -> str:
+    """Pure-Python twin of
+    :func:`go_crawler_spark.functions.urls.url_template_expr` (host +
+    lower-cased path with digit runs collapsed to ``<d>``, query/fragment
+    stripped) — step-for-step the same string ops, pinned equal by
+    tests/test_traps.py."""
+    no_frag = url.split("#", 1)[0]
+    no_query = no_frag.split("?", 1)[0]
+    rest = re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", no_query)
+    authority = re.match(r"^[^/?]*", rest).group(0)
+    path = rest[len(authority):] or "/"
+    # surt_host_expr: userinfo + port stripped, lowered, one trailing dot
+    host = authority.split("@")[-1].split(":", 1)[0].lower()
+    host = re.sub(r"\.$", "", host)
+    return host + re.sub(r"[0-9]+", "<d>", path.lower())
 
 
 def _rfc_match(path: str, pattern: str) -> bool:
@@ -89,6 +108,15 @@ def simulate(
     host_slot_overrides: "Optional[Dict[str, int]]" = None,
     # per-host politeness slot limits (e.g. from robots Crawl-delay);
     # hosts absent here use cfg.host_slots_per_round (unlimited if <= 0)
+    trap_templates: "Optional[List[str]]" = None,
+    # externally supplied spider-trap templates (url_template form);
+    # matching frontier URLs are blocked with status 'skipped_trap'
+    trap_refresh_rounds: int = 0,
+    trap_min_urls: int = 20,
+    # [EXTENSION] in-loop trap defense: every `trap_refresh_rounds` rounds
+    # re-census the fetched log (template -> url count, distinct md5
+    # fingerprints) and add templates that are prolific AND content-poor
+    # (operators/traps.py::url_trap_census semantics) to the gate; 0 = off
 ) -> SimResult:
     res = SimResult()
     rules: Dict[str, List[str]] = {}
@@ -126,9 +154,40 @@ def simulate(
     for s in seeds:
         push(s, "page", 0)
 
+    external_traps = frozenset(trap_templates or [])
+    trap_set: set = set(external_traps)
+    fetched_fps: List[Tuple[str, str]] = []  # (url, md5 of fetched bytes)
+
     rnd = 0
     while frontier:
         frontier.sort(key=lambda it: it.seq)
+
+        # [EXTENSION] in-loop trap refresh: census the fetched-so-far log
+        # (rounds < rnd, matching the engine's fetched_* tables) and
+        # re-derive the gate = external templates ∪ flagged templates
+        if trap_refresh_rounds > 0 and rnd > 0 and rnd % trap_refresh_rounds == 0:
+            tpl_n: Dict[str, int] = {}
+            tpl_fp: Dict[str, set] = {}
+            for u, fp in fetched_fps:
+                t = url_template(u)
+                tpl_n[t] = tpl_n.get(t, 0) + 1
+                tpl_fp.setdefault(t, set()).add(fp)
+            trap_set = set(external_traps) | {
+                t
+                for t, c in tpl_n.items()
+                if c >= trap_min_urls and len(tpl_fp[t]) * 4 <= c
+            }
+
+        # trap gate — BEFORE robots, matching the engine's gate order;
+        # trapped items leave the frontier but stay seen
+        if trap_set:
+            remaining: List[SimItem] = []
+            for it in frontier:
+                if url_template(it.url) in trap_set:
+                    it.status, it.fetch_round = "skipped_trap", rnd
+                else:
+                    remaining.append(it)
+            frontier = remaining
 
         # robots [EXTENSION]: blocked items leave the frontier without a slot
         allowed: List[SimItem] = []
@@ -185,6 +244,9 @@ def simulate(
                 m["bytes_downloaded"] += len(html)
                 if it.kind == "page":
                     m["pages_crawled"] += 1
+                # fingerprint of the PRE-rewrite bytes, same as the
+                # engine's md5(html) computed before the T1 attr rewrite
+                fetched_fps.append((it.url, hashlib.md5(html).hexdigest()))
             # parse: pages only (main.go:207); skipped page ⇒ zero children
             if it.kind == "page" and html is not None:
                 for kind, url, pos in resolve_links_and_assets(it.url, html):

@@ -61,6 +61,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                    "templates (a url_trap_census output or a bare "
                    "template column); matching frontier URLs are blocked "
                    "with status skipped_trap")
+    p.add_argument("--trap-refresh-rounds", type=int, default=0,
+                   help="re-census the fetched log every N rounds and gate "
+                        "newly flagged trap templates in-crawl (0=off); "
+                        "composes with --trap-templates")
+    p.add_argument("--trap-min-urls", type=int, default=20,
+                   help="census threshold: templates with at least this "
+                        "many fetched URLs (and <=1/4 distinct content) "
+                        "are flagged as traps")
     p.add_argument("--robots", help="parquet/csv path with "
                    "(host, disallow_prefix) rules, an RFC 9309 rules "
                    "table from parse_robots_rules, or a (host, body) "
@@ -167,7 +175,9 @@ def main(argv=None) -> None:
         res = resume_crawl(spark, pages, cfg, args.resume,
                            robots=robots, max_rounds=args.max_rounds,
                            host_slots=host_slots,
-                           trap_templates=trap_templates)
+                           trap_templates=trap_templates,
+                           trap_refresh_rounds=args.trap_refresh_rounds,
+                           trap_min_urls=args.trap_min_urls)
     else:
         if args.seeds_file:
             if args.seeds_file.endswith(".parquet") or os.path.isdir(args.seeds_file):
@@ -186,7 +196,9 @@ def main(argv=None) -> None:
         res = run_crawl(spark, pages, seeds, cfg, robots=robots,
                         workdir=workdir, max_rounds=args.max_rounds,
                         host_slots=host_slots,
-                        trap_templates=trap_templates)
+                        trap_templates=trap_templates,
+                        trap_refresh_rounds=args.trap_refresh_rounds,
+                        trap_min_urls=args.trap_min_urls)
 
     # publish the user-facing tables (S4 sink + schedule + metrics);
     # pages_out/fetched are None when no round produced a fetched_ log
