@@ -138,6 +138,14 @@ def crawl_bench(spark, sf_dir: str, cpus: int = CPUS) -> dict:
         "urls_scheduled_per_sec": n_scheduled / dt,
         "pages_fetched_per_sec": n_fetched / dt,
         "rounds": res.rounds,
+        # seen-filter audit (CrawlResult.seen_filter): which dedup tier
+        # actually engaged per round, and how many candidate rows the
+        # bloom proved new (skipping the exact anti-join) — the driver-run
+        # evidence of the adaptive gate (cfg.bloom_min_seen_rows)
+        "seen_filter_rounds_active": sum(
+            1 for e in res.seen_filter if e["active"]
+        ),
+        "seen_filter_pruned_rows": sum(e["pruned"] for e in res.seen_filter),
     }
 
 

@@ -188,13 +188,27 @@ def dedup_against_seen(
     seen: DataFrame,
     key: str = "url",
     bloom=None,
+    mark_definite: str | None = None,
 ) -> DataFrame:
     """Full Q1 cross-round path: optional bloom/cuckoo prune, exact
-    anti-join confirm, union of definite-new and confirmed-new."""
+    anti-join confirm, union of definite-new and confirmed-new.
+
+    ``mark_definite``: when set, the output carries a boolean column of
+    that name — True on rows the filter proved new (they skipped the exact
+    anti-join entirely), False on rows that went through the join (or on
+    every row when ``bloom`` is None). Callers observe ``sum(mark)`` on
+    the downstream action to get a free rows-pruned-by-filter counter —
+    the auditable evidence of which dedup tier engaged."""
     if bloom is None:
-        return anti_join_seen(candidates, seen, key)
+        out = anti_join_seen(candidates, seen, key)
+        if mark_definite:
+            out = out.withColumn(mark_definite, F.lit(False))
+        return out
     hashed = bloom_prefilter(candidates, bloom, key)
     definitely_new = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_maybe")
     maybe = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
     confirmed_new = anti_join_seen(maybe, seen, key)
+    if mark_definite:
+        definitely_new = definitely_new.withColumn(mark_definite, F.lit(True))
+        confirmed_new = confirmed_new.withColumn(mark_definite, F.lit(False))
     return definitely_new.unionByName(confirmed_new)

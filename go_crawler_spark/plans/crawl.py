@@ -66,11 +66,11 @@ is noise; at small scale the fixed action count IS the runtime.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterator, List, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from go_crawler_spark.config import CrawlConfig
 from go_crawler_spark.functions.htmlx import parse_page_udf
@@ -114,6 +114,13 @@ class CrawlResult:
     seen: DataFrame       # url
     rounds: int
     workdir: str
+    # per-round seen-filter audit: [{"round", "active", "pruned",
+    # "candidates"}] — "candidates" = new-URL rows that survived the
+    # seen-dedup this round, "pruned" = the subset the bloom/cuckoo tier
+    # proved new (they never touched the exact anti-join); rides the
+    # enqueue write as an upstream Observation, zero extra jobs. The
+    # evidence that the adaptive gate (cfg.bloom_min_seen_rows) fired.
+    seen_filter: List[dict] = field(default_factory=list)
 
 
 # admission counters folded into the enqueue write action (M1/Q2/Q4 driver
@@ -272,6 +279,24 @@ def _enqueue_large(
         "admitted",
         F.lit(rnd).alias("enqueue_round"),
     )
+
+
+def _observe_filter_pruned(new_urls: DataFrame) -> "tuple[DataFrame, Observation]":
+    """Attach a free rows-pruned-by-filter counter to the round's enqueue
+    plan: ``new_urls`` carries a ``_definite`` flag (True = the bloom/cuckoo
+    tier proved the row new, so it skipped the exact anti-join); an upstream
+    ``Observation`` sums it during the write action already happening — no
+    extra job, no schema change (the flag is dropped here, before the
+    checkpoint). ``Observation.get`` is read after the write."""
+    obs = Observation()
+    out = new_urls.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.when(F.col("_definite"), 1).otherwise(0)), F.lit(0)
+        ).alias("filter_pruned"),
+        F.count(F.lit(1)).alias("filter_candidates"),
+    ).drop("_definite")
+    return out, obs
 
 
 def _new_seen_filter(cfg: CrawlConfig):
@@ -560,6 +585,7 @@ def run_crawl(
             frontier = admitted_all
         frontier = io.write(frontier, "frontier")
         n_frontier = frontier.count()
+    seen_filter_log: List[dict] = []
     while rnd < max_rounds and n_frontier > 0:
         t = time.perf_counter()
 
@@ -707,9 +733,15 @@ def run_crawl(
         budget_remaining = max(cfg.max_count - pages_enqueued, 0)
         small = n_frontier * 64 <= SMALL_INPUT_ROWS  # ≲ avg out-degree bound
         verdicts = None
+        filter_obs = None
         if small:
             # first-writer dedup happens inside the fused ordered pass
-            new_urls = dedup_against_seen(candidates, seen, "url", bloom)
+            new_urls = dedup_against_seen(
+                candidates, seen, "url", bloom,
+                mark_definite="_definite" if bloom is not None else None,
+            )
+            if bloom is not None:
+                new_urls, filter_obs = _observe_filter_pruned(new_urls)
             enq = _enqueue_small(new_urls, budget_remaining, seq_next, rnd + 1)
         else:
             candidates = first_writer_dedup(candidates, "url", ORDER_COLS)
@@ -722,11 +754,13 @@ def run_crawl(
                 verdicts = bloom_prefilter(candidates, bloom, "url").persist()
                 definitely_new = verdicts.filter(~F.col("_maybe")).drop(
                     "_h1", "_h2", "_maybe"
-                )
+                ).withColumn("_definite", F.lit(True))
                 maybe = verdicts.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
                 new_urls = definitely_new.unionByName(
                     anti_join_seen(maybe, seen, "url")
+                    .withColumn("_definite", F.lit(False))
                 )
+                new_urls, filter_obs = _observe_filter_pruned(new_urls)
             enq = _enqueue_large(new_urls, budget_remaining, seq_next, rnd + 1)
         stats: dict = {}
         enq = io.write(
@@ -736,6 +770,15 @@ def run_crawl(
         release_pending_caches()
         if verdicts is not None:
             verdicts.unpersist()
+        # seen-filter audit row: Observation.get is already populated (the
+        # enqueue write above executed the observed plan) — zero extra jobs
+        flt = {"round": rnd, "active": bloom is not None,
+               "pruned": 0, "candidates": None}
+        if filter_obs is not None:
+            og = filter_obs.get
+            flt["pruned"] = int(og["filter_pruned"])
+            flt["candidates"] = int(og["filter_candidates"])
+        seen_filter_log.append(flt)
         seen_names.append(f"enqueue_{rnd + 1}")
         n_admitted = int(stats["n_admitted"])
         pages_enqueued += int(stats["pages_admitted"])
@@ -779,6 +822,7 @@ def run_crawl(
 
     t = time.perf_counter()
     result = _assemble_result(spark, io, workdir, rnd, cfg)
+    result.seen_filter = seen_filter_log
     _tick("assemble", t)
     return result
 

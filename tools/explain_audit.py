@@ -155,6 +155,30 @@ def main() -> None:
         {"LeftAnti": True, "HashAggregate": False},
     )
 
+    # 3b. filter-tier dedup with the pruned-rows audit: the Observation
+    # rides the plan as a CollectMetrics node (the counter costs no extra
+    # job), the exact anti-join still confirms the maybe-side, and the
+    # _definite flag is projected away before any checkpoint
+    from go_crawler_spark.operators.dedup import BloomFilter, dedup_against_seen
+    from go_crawler_spark.plans.crawl import _observe_filter_pruned
+
+    flt = BloomFilter(1 << 16, 4)
+    observed, _obs = _observe_filter_pruned(
+        dedup_against_seen(cands, seen, "url", flt, mark_definite="_definite")
+    )
+    audit(
+        "seen_filter_pruned_audit (observe rides the enqueue write)",
+        observed,
+        {"CollectMetrics": True, "LeftAnti": True},
+    )
+    # the flag feeds only the metrics node: it must not reach the output
+    # schema (the enqueue checkpoint) — plan text can't show this (the
+    # CollectMetrics aggregate legitimately names it), so check the schema
+    checks.append(
+        ("seen_filter_pruned_audit: _definite dropped from output schema",
+         "_definite" not in observed.columns)
+    )
+
     # 4. groupBy agg → map-side partial aggregation
     agg = docs.groupBy("source").agg(F.count("*").alias("n"))
     audit(
