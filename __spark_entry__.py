@@ -1193,6 +1193,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = CrawlConfig(max_count=30, host_slots_per_round=4)
         return run_crawl(spark, pages, default_seeds(), cfg).schedule.orderBy("seq")
 
+    def crawl_trap_refresh(spark, sf):
+        """In-loop spider-trap defense (run_crawl(trap_refresh_rounds=1)):
+        the /gen/<d>.html template becomes prolific + content-poor DURING
+        the crawl, the round-2 census flags it, and its minted grandchildren
+        are blocked as skipped_trap while the /real/ chain keeps fetching.
+        Oracle = the pure-Python simulator over the same deterministic
+        universe (fixtures/crawl_trap_refresh.parquet). Ref: the reference
+        has no trap defense at all — internal/queue.go:101-106 just burns
+        budget on minted URLs."""
+        from go_crawler_spark.config import CrawlConfig
+        from go_crawler_spark.datagen import trap_pages_df, trap_seeds
+        from go_crawler_spark.plans.crawl import run_crawl
+
+        pages = trap_pages_df(spark, _crawl_scale(sf))
+        cfg = CrawlConfig(max_count=500)
+        res = run_crawl(
+            spark, pages, trap_seeds(), cfg,
+            trap_refresh_rounds=1, trap_min_urls=20,
+        )
+        return res.fetched.select(
+            "url", "kind", "depth", "seq", "round", "status"
+        ).orderBy("seq")
+
     def crawl_extract_children(spark, sf):
         from go_crawler_spark.datagen import generate_pages_df
         from go_crawler_spark.functions.htmlx import extract_resolved_udf
@@ -1421,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _all = {
         # -- 19 entries with no driver hash row in r1/r2 (were pos 51-69) --
         "crawl_flagship": crawl_flagship,
+        "crawl_trap_refresh": crawl_trap_refresh,
         "crawl_extract_children": crawl_extract_children,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
@@ -2606,6 +2630,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_flagship": f"""
             SELECT url, kind, depth, seq, host, enqueue_round
             FROM read_parquet('{fix}/crawl_flagship.parquet')
+            WHERE scale = {scale_key}
+        """,
+        "crawl_trap_refresh": f"""
+            SELECT url, kind, depth, seq, round, status
+            FROM read_parquet('{fix}/crawl_trap_refresh.parquet')
             WHERE scale = {scale_key}
         """,
         "crawl_extract_children": f"""

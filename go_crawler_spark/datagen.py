@@ -242,3 +242,64 @@ def default_seeds(n_seeds: int = 4) -> List[str]:
         i += 1
     seeds.append("https://big.example.com/deadseed.html")
     return seeds
+
+
+# ---------------------------------------------------------------------------
+# trap corpus [EXTENSION] — a deterministic universe containing a spider
+# trap that EMERGES mid-crawl: a hub links to n_gen calendar-style pages
+# /gen/<i>.html sharing only 4 content variants (prolific + content-poor,
+# the url_trap_census signature), each minting further /gen/ grandchildren,
+# while a /real/ chain keeps producing genuine content. Drives the in-loop
+# trap defense (plans/crawl.py run_crawl(trap_refresh_rounds=...)) in the
+# contract query crawl_trap_refresh; the fixture oracle is the pure-Python
+# simulator over the same dict (tools/gen_fixtures.py).
+# ---------------------------------------------------------------------------
+
+TRAP_HOST = "trap.example.com"
+
+
+def trap_corpus_n_gen(scale: int) -> int:
+    """Trap fan-out per scale — always ≥ 20 (the census default threshold)
+    and < 100 (grandchild ids start at 100, must never collide)."""
+    return min(20 + scale // 24, 96)
+
+
+def trap_corpus_dict(scale: int) -> dict:
+    """url → html bytes; the simulator consumes this directly."""
+    h = f"https://{TRAP_HOST}"
+
+    def html(links, body):
+        return (
+            "<html><body>"
+            + "".join(f'<a href="{u}">x</a>' for u in links)
+            + f"<p>{body}</p></body></html>"
+        ).encode("utf-8")
+
+    n_gen = trap_corpus_n_gen(scale)
+    corpus = {
+        f"{h}/hub.html": html(
+            [f"/gen/{i}.html" for i in range(1, n_gen + 1)] + ["/real/0.html"],
+            f"hub scale {scale}",
+        ),
+    }
+    for j in range(4):  # the genuine branch: a 4-page chain
+        nxt = [f"/real/{j + 1}.html"] if j < 3 else []
+        corpus[f"{h}/real/{j}.html"] = html(nxt, f"real page {j} scale {scale}")
+    for i in range(1, n_gen + 1):
+        v = i % 4  # 4 exact content variants across n_gen urls
+        corpus[f"{h}/gen/{i}.html"] = html(
+            [f"/gen/{100 + v * 10 + k}.html" for k in range(3)], f"variant {v}"
+        )
+    return corpus
+
+
+def trap_seeds() -> List[str]:
+    return [f"https://{TRAP_HOST}/hub.html"]
+
+
+def trap_pages_df(spark: SparkSession, scale: int) -> DataFrame:
+    rows = [
+        (u, EPOCH + dt.timedelta(seconds=i), b, "", "en")
+        for i, (u, b) in enumerate(sorted(trap_corpus_dict(scale).items()))
+    ]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)

@@ -122,6 +122,43 @@ def gen_crawl_flagship() -> None:
     )
 
 
+def gen_crawl_trap_refresh() -> None:
+    """Expected fetched-log of the in-loop trap defense: the pure-Python
+    simulator (go_crawler_spark/simulator.py — an independent sequential
+    implementation, bit-for-bit parity pinned by tests/test_traps.py) over
+    the deterministic trap universe (datagen.trap_corpus_dict): the /gen/
+    template becomes prolific + content-poor during the crawl, the round-2
+    census flags it, and its minted grandchildren die as skipped_trap while
+    the /real/ chain keeps fetching."""
+    from go_crawler_spark.config import CrawlConfig
+    from go_crawler_spark.datagen import trap_corpus_dict, trap_seeds
+    from go_crawler_spark.simulator import simulate
+
+    rows = []
+    for sf, scale in SCALES.items():
+        cfg = CrawlConfig(max_count=500)
+        sim = simulate(
+            trap_corpus_dict(scale), trap_seeds(), cfg,
+            trap_refresh_rounds=1, trap_min_urls=20,
+        )
+        for it in sim.schedule:
+            if it.fetch_round < 0:
+                continue
+            rows.append(
+                dict(url=it.url, kind=it.kind, depth=it.depth, seq=it.seq,
+                     round=it.fetch_round, status=it.status, scale=scale)
+            )
+    write(
+        "crawl_trap_refresh",
+        rows,
+        pa.schema(
+            [("url", pa.string()), ("kind", pa.string()), ("depth", pa.int32()),
+             ("seq", pa.int64()), ("round", pa.int32()),
+             ("status", pa.string()), ("scale", pa.int32())]
+        ),
+    )
+
+
 def gen_crawl_children() -> None:
     from go_crawler_spark.datagen import page_html, page_url
     from go_crawler_spark.functions.htmlx import resolve_links_and_assets
@@ -663,6 +700,7 @@ def main() -> None:
     gen_cms_host_counts()
     gen_semdedup()
     gen_crawl_flagship()
+    gen_crawl_trap_refresh()
     gen_crawl_children()
     gen_simhash_pairs()
     gen_minhash_pairs()
