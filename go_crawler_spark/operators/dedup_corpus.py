@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from go_crawler_spark.operators.sequence import unpersist_local_checkpoint
 from go_crawler_spark.functions.text import (
     fingerprint_md5,
     normalize_for_fingerprint,
@@ -626,10 +627,14 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         fp = _fingerprint(small)
-        if fp == prev_fp and small.exceptAll(e).limit(1).isEmpty():
-            e = small
-            break
+        converged = fp == prev_fp and small.exceptAll(e).limit(1).isEmpty()
+        # the superseded round's edge checkpoint is dead once `small` is
+        # materialized and compared — free it (a long contraction would
+        # otherwise hold every round's edge set in executor storage)
+        unpersist_local_checkpoint(e)
         e = small
+        if converged:
+            break
         prev_fp = fp
     if stats is not None:
         stats["rounds"] = rounds

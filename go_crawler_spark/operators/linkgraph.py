@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from go_crawler_spark.operators.sequence import unpersist_local_checkpoint
+
 
 def out_degrees(edges: DataFrame) -> DataFrame:
     """(node, out_degree) for nodes with ≥1 out-link."""
@@ -75,6 +77,7 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    prev_ck = None
     for i in range(n_iter):
         contribs = (
             weighted.join(ranks, weighted["src"] == ranks["node"])
@@ -90,8 +93,14 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            # truncate lineage on long runs (plan depth is O(iterations))
-            ranks = ranks.localCheckpoint(eager=True)
+            # truncate lineage on long runs (plan depth is O(iterations));
+            # the PREVIOUS checkpoint is dead the moment the new one is
+            # eagerly materialized — free it, or a long run holds every
+            # iteration's rank table in executor storage at once
+            new_ranks = ranks.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                unpersist_local_checkpoint(prev_ck)
+            ranks = prev_ck = new_ranks
     weighted.unpersist()
     return ranks
 
@@ -148,6 +157,7 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
 
     hub = nodes.withColumn("h", F.lit(1).cast(acc))
     auth = None
+    prev_hub_ck = None
     for i in range(n_iter):
         a_in = (
             edges.join(hub, edges["src"] == hub["node"])
@@ -166,7 +176,10 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
             "node", _guarded(h_out["src"], "h", "hub").alias("h")
         )
         if (i + 1) % 5 == 0 and i + 1 < n_iter:
-            hub = hub.localCheckpoint(eager=True)
+            new_hub = hub.localCheckpoint(eager=True)
+            if prev_hub_ck is not None:
+                unpersist_local_checkpoint(prev_hub_ck)
+            hub = prev_hub_ck = new_hub
 
     # persist the joined integer scores: the totals action and the
     # returned normalization plan both read them — without this the whole

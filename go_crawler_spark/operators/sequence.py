@@ -31,9 +31,48 @@ _PENDING_CACHES: List = []
 
 def release_pending_caches() -> None:
     """Unpersist the bucketed-partitioning caches once the caller has
-    materialized the assignment output (e.g. written it to parquet)."""
+    materialized the assignment output (e.g. written it to parquet).
+    Safe at any time: a released cache recomputes through lineage."""
     while _PENDING_CACHES:
         _PENDING_CACHES.pop().unpersist()
+
+
+# eager local checkpoints created by the range-partition schedulers: each
+# holds its partitioned rows in executor storage (MEMORY_AND_DISK) with NO
+# lineage behind it — without an explicit release every scheduler call
+# leaks one materialized frontier copy for the life of the session (disk
+# fill at crawl scale: one per round).
+_PENDING_CHECKPOINTS: List = []
+
+
+def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    ck = df.localCheckpoint(eager=True)
+    _PENDING_CHECKPOINTS.append(ck)
+    return ck
+
+
+def unpersist_local_checkpoint(ck: DataFrame) -> None:
+    """Free the storage blocks behind a ``localCheckpoint(eager=True)``
+    frame. DESTRUCTIVE: the checkpoint carries no lineage, so any LATER
+    action on a plan that still references it fails loudly
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — it can never silently recompute
+    wrong. Best-effort: reaches the checkpointed RDD through the
+    LogicalRDD plan node; a different plan shape is left alone."""
+    try:
+        ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — non-LogicalRDD plan / closed session
+        pass
+
+
+def release_pending_checkpoints() -> None:
+    """Free every scheduler checkpoint created since the last release.
+    Call ONLY once every frame derived from scheduler output has been
+    durably materialized (e.g. the crawl round's enqueue/frontier tables
+    are written — tableio.write hands back a parquet re-read, so nothing
+    live references the checkpoint). See :func:`unpersist_local_checkpoint`
+    for the failure mode of releasing too early."""
+    while _PENDING_CHECKPOINTS:
+        unpersist_local_checkpoint(_PENDING_CHECKPOINTS.pop())
 
 
 def assign_global_seq(
@@ -87,10 +126,8 @@ def assign_global_seq_counted(
         # partitions. Materialize the partitioning once (eager local
         # checkpoint): both passes then share identical partitions, and a
         # lost partition fails the job instead of silently resampling.
-        parted = (
-            df.repartitionByRange(n, *cols)
-            .sortWithinPartitions(*cols)
-            .localCheckpoint(eager=True)
+        parted = _tracked_local_checkpoint(
+            df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         )
         counts_df = (
             parted.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count()
@@ -253,10 +290,8 @@ def assign_seq_admit_budget(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # materialize the range partitioning once so the counts pass and the
     # assignment pass see identical partitions (see assign_global_seq_counted)
-    parted = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .localCheckpoint(eager=True)
+    parted = _tracked_local_checkpoint(
+        df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     )
     counts_df = (
         parted.withColumn("_pid", F.spark_partition_id())

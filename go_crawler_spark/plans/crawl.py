@@ -94,6 +94,7 @@ from go_crawler_spark.operators.sequence import (
     SMALL_INPUT_ROWS,
     assign_seq_admit_budget_bucketed,
     release_pending_caches,
+    release_pending_checkpoints,
 )
 
 ORDER_COLS = ["parent_seq", "pos"]  # canonical within-round discovery order
@@ -818,9 +819,14 @@ def run_crawl(
              "config": {"max_count": cfg.max_count, "max_depth": cfg.max_depth,
                         "host_slots_per_round": cfg.host_slots_per_round}},
         )
+        # every frame that outlives the round (enq, frontier) is a parquet
+        # re-read by now — free the scheduler checkpoints, or each round
+        # leaks one materialized frontier copy in executor storage
+        release_pending_checkpoints()
         rnd += 1
 
     t = time.perf_counter()
+    release_pending_checkpoints()  # covers the pre-loop seeds path too
     result = _assemble_result(spark, io, workdir, rnd, cfg)
     result.seen_filter = seen_filter_log
     _tick("assemble", t)

@@ -60,6 +60,7 @@ def test_connected_components_chain(spark):
     """Chain 1-2-3-4 needs multiple propagation rounds (diameter 3);
     plus a separate pair and a separate triangle component."""
     from go_crawler_spark.operators.dedup_corpus import connected_components
+    from go_crawler_spark.operators.linkgraph import hits
 
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10), (8, 10)],
@@ -186,3 +187,42 @@ def test_hits_overflow_fails_loudly(spark):
                 hits(nodes, edges, n_iter=10).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_iterative_checkpoints_freed(spark):
+    """pagerank/hits/components truncate lineage with eager local
+    checkpoints; superseded iterations must be unpersisted as the loop
+    advances — a long run may hold at most the LIVE checkpoint(s), not one
+    per iteration (the pre-fix behavior leaked executor storage per round
+    at crawl scale)."""
+    from go_crawler_spark.operators.dedup_corpus import connected_components
+    from go_crawler_spark.operators.linkgraph import hits
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long"
+    )
+
+    base = n_persistent()
+    r = pagerank(nodes, edges, n_iter=6, checkpoint_every=1)
+    assert len(r.collect()) == 8
+    # 5 checkpoints created (i+1 < n_iter), only the last may be live
+    assert n_persistent() <= base + 1
+
+    base = n_persistent()
+    h = hits(nodes, edges, n_iter=11)  # checkpoints at i+1 = 5, 10
+    assert len(h.collect()) == 8
+    # live: the final checkpoint + the returned persisted scores frame
+    assert n_persistent() <= base + 2
+
+    base = n_persistent()
+    e2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(127)], "a long, b long"
+    )
+    comp = connected_components(e2, "a", "b")
+    assert comp.count() == 128
+    # a 2^7 path takes several star rounds; live = final edge set + nodes
+    assert n_persistent() <= base + 2

@@ -192,17 +192,24 @@ def test_host_budget_hash_join_path_matches_broadcast(spark):
 
 
 def test_host_budget_releases_its_cache(spark):
-    """allocate_host_budget persists the host-weight frame; it must be
-    freed by release_pending_caches() (per-round calls previously leaked
-    one cached frame each) — including the total_w==0 early return."""
-    from go_crawler_spark.operators.sequence import release_pending_caches
+    """allocate_host_budget persists the host-weight frame and its
+    leftover top-r pass local-checkpoints the range partitioning; BOTH
+    must be freed by the repo's release pair once the result is
+    materialized (per-round calls previously leaked one cached frame and
+    one checkpoint each) — including the total_w==0 early return."""
+    from go_crawler_spark.operators.sequence import (
+        release_pending_caches,
+        release_pending_checkpoints,
+    )
 
     release_pending_caches()
+    release_pending_checkpoints()
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     _alloc(spark, [("a", 5), ("b", 3), ("c", 1)], 10)
     _alloc(spark, [("a", 0), ("b", 0)], 5)  # early-return path
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
     release_pending_caches()
+    release_pending_checkpoints()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
 
 
