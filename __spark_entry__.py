@@ -1216,6 +1216,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "kind", "depth", "seq", "round", "status"
         ).orderBy("seq")
 
+    def anchor_text_agg(spark, sf):
+        """Per-target anchor-text profile [EXTENSION — LLM-pipeline]: the
+        link-text signal the reference's parser discards
+        (internal/pageparser.go:28-68 keeps only resolved URLs). Extraction
+        is one Arrow pass (functions/htmlx.py::extract_anchors_udf); the
+        aggregation exchanges only (dst, anchor) string pairs — page bytes
+        never shuffle — and the per-dst set is capped at 64 sorted distinct
+        anchors, so a mega-indegree hub (google.com at web scale) cannot
+        blow a reducer. Oracle: independent regex parse committed as
+        fixtures/anchor_pairs.parquet."""
+        from go_crawler_spark.datagen import generate_pages_df
+        from go_crawler_spark.functions.htmlx import extract_anchors_udf
+
+        pages = generate_pages_df(spark, _crawl_scale(sf), seed=42)
+        pairs = (
+            pages.filter(F.col("text") != "")
+            .select(F.explode(extract_anchors_udf("url", "html")).alias("p"))
+            .select(F.col("p.url").alias("dst"), F.col("p.anchor").alias("anchor"))
+        )
+        return pairs.groupBy("dst").agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.concat_ws(
+                "|", F.slice(F.sort_array(F.collect_set("anchor")), 1, 64)
+            ).alias("anchors"),
+        )
+
     def crawl_extract_children(spark, sf):
         from go_crawler_spark.datagen import generate_pages_df
         from go_crawler_spark.functions.htmlx import extract_resolved_udf
@@ -1445,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 19 entries with no driver hash row in r1/r2 (were pos 51-69) --
         "crawl_flagship": crawl_flagship,
         "crawl_trap_refresh": crawl_trap_refresh,
+        "anchor_text_agg": anchor_text_agg,
         "crawl_extract_children": crawl_extract_children,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
@@ -2636,6 +2663,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, kind, depth, seq, round, status
             FROM read_parquet('{fix}/crawl_trap_refresh.parquet')
             WHERE scale = {scale_key}
+        """,
+        "anchor_text_agg": f"""
+            SELECT dst, CAST(count(*) AS BIGINT) AS n_refs,
+                   array_to_string(
+                       list_sort(list_distinct(list(anchor)))[1:64], '|'
+                   ) AS anchors
+            FROM read_parquet('{fix}/anchor_pairs.parquet')
+            WHERE scale = {scale_key}
+            GROUP BY dst
         """,
         "crawl_extract_children": f"""
             SELECT url, kind, child_url, pos

@@ -533,3 +533,99 @@ def rewrite_html_udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
         ],
         dtype=object,
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction [EXTENSION — LLM-pipeline]
+# ---------------------------------------------------------------------------
+#
+# Per-target anchor text is the classic web-corpus signal the crawl graph
+# gives away for free (link-text features for URL quality / query-doc
+# relevance; e.g. anchors feed the quality classifiers of production
+# crawl curation). The reference parses <a> tags but discards their inner
+# text (internal/pageparser.go:28-68 keeps only the resolved URL); this
+# layer keeps (resolved url, normalized text) pairs. Unlike the resource
+# scanner above, no byte offsets or rewrite fidelity are needed, so the
+# stock HTMLParser is used directly.
+
+
+class _AnchorParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str, int]] = []  # (href, text, pos)
+        self._open: list[tuple[str, int, list]] = []
+        self._n = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            href = _first_attr(attrs, "href")
+            if href is not None:
+                self._open.append((href, self._n, []))
+                self._n += 1
+
+    def handle_startendtag(self, tag, attrs):
+        # <a ... /> — empty anchor, dropped by the text filter below
+        pass
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open:
+            href, pos, parts = self._open.pop()
+            self.pairs.append((href, "".join(parts), pos))
+
+    def handle_data(self, data):
+        for _, _, parts in self._open:
+            parts.append(data)
+
+
+def extract_anchor_texts(page_url: str, html: bytes) -> list[tuple[str, str, int]]:
+    """(resolved_url, anchor_text, pos) for every ``<a href>`` whose
+    normalized inner text is non-empty, in document order (pos = open
+    order). Text = concatenated text nodes (entities unescaped, nested
+    markup transparent), whitespace collapsed to single spaces. URLs go
+    through the same canonicalization as the children pipeline (fragment
+    strip + RFC 3986 absolutize) but are NOT same-host-filtered — anchors
+    pointing off-host are exactly the valuable ones. Unclosed anchors at
+    EOF are flushed (malformed pages still contribute)."""
+    p = _AnchorParser()
+    try:
+        p.feed(html.decode("utf-8", "replace"))
+        p.close()
+    except Exception:  # noqa: BLE001 — parser blow-up == no anchors
+        return []
+    while p._open:
+        href, pos, parts = p._open.pop()
+        p.pairs.append((href, "".join(parts), pos))
+    out: list[tuple[str, str, int]] = []
+    for href, text, pos in p.pairs:
+        norm = " ".join(text.split())
+        if not norm:
+            continue
+        resolved = canonicalize(page_url, href)
+        if resolved is None:
+            continue
+        out.append((resolved, norm, pos))
+    out.sort(key=lambda t: t[2])
+    return out
+
+
+ANCHOR_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType()),
+            StructField("anchor", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+
+@pandas_udf(ANCHOR_SCHEMA)
+def extract_anchors_udf(page_url: pd.Series, html: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_anchor_texts(u, h)
+            if (h is not None and u is not None) else []
+            for u, h in zip(page_url, html)
+        ],
+        dtype=object,
+    )

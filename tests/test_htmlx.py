@@ -292,3 +292,34 @@ class TestFastScannerDifferential:
                 assert fast == self._slow(s), s
 
         check()
+
+
+def test_extract_anchor_texts():
+    """Anchor-text extraction (LLM-pipeline extension): entities unescaped,
+    nested markup transparent, whitespace collapsed, empty anchors dropped,
+    fragment stripped + absolutized, off-host KEPT, unclosed <a> flushed,
+    doc order by open position."""
+    from go_crawler_spark.functions.htmlx import extract_anchor_texts
+
+    html = (
+        b'<html><body>'
+        b'<a href="p2.html#sec">go <b>there</b>&amp;back</a>'
+        b'<A HREF="https://other.net/z">  Ext  Link </A>'
+        b'<a href="/empty"></a>'
+        b'<a href="#top">top</a>'
+        b'<a name="no-href">skip</a>'
+        b'<a href="/tail">unclosed tail'
+        b'</body></html>'
+    )
+    got = extract_anchor_texts("https://h.example.com/a/p1.html", html)
+    assert got == [
+        ("https://h.example.com/a/p2.html", "go there&back", 0),
+        ("https://other.net/z", "Ext Link", 1),
+        ("https://h.example.com/a/p1.html", "top", 3),
+        ("https://h.example.com/tail", "unclosed tail", 4),
+    ]
+    # dead inputs parse to nothing
+    assert extract_anchor_texts("https://h.example.com/", b"") == []
+    assert extract_anchor_texts("https://h.example.com/", b"\xff\xfe<a href='x'>t</a>") == [
+        ("https://h.example.com/x", "t", 0)
+    ]

@@ -159,6 +159,56 @@ def gen_crawl_trap_refresh() -> None:
     )
 
 
+_ANCHOR_TAG_RE = re.compile(r"<a\b([^>]*)>(.*?)</a\s*>", re.I | re.S)
+_ANCHOR_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_ANCHOR_INNER_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def gen_anchor_pairs() -> None:
+    """Expected (dst, anchor) pairs for anchor_text_agg — an INDEPENDENT
+    regex-based parse (vs the engine's HTMLParser subclass in
+    functions/htmlx.py::extract_anchor_texts): find <a ...>...</a> spans,
+    take the first href, strip nested markup, unescape entities, collapse
+    whitespace, drop empties, strip the fragment and absolutize."""
+    import html as _html
+    from urllib.parse import urljoin
+
+    from go_crawler_spark.datagen import generate_corpus_dict, page_url
+
+    rows = []
+    for sf, scale in SCALES.items():
+        corpus = generate_corpus_dict(scale, 42)
+        for i in range(scale):
+            u = page_url(i)
+            body = corpus[u].decode("utf-8", "replace")
+            for m in _ANCHOR_TAG_RE.finditer(body):
+                hm = _ANCHOR_HREF_RE.search(m.group(1))
+                if not hm:
+                    continue
+                href = _html.unescape(
+                    hm.group(1) or hm.group(2) or hm.group(3) or ""
+                )
+                text = " ".join(
+                    _html.unescape(
+                        _ANCHOR_INNER_TAG_RE.sub("", m.group(2))
+                    ).split()
+                )
+                if not text:
+                    continue
+                dst = urljoin(u, href.split("#", 1)[0])
+                rows.append(dict(dst=dst, anchor=text, scale=scale))
+    write(
+        "anchor_pairs",
+        rows,
+        pa.schema(
+            [("dst", pa.string()), ("anchor", pa.string()),
+             ("scale", pa.int32())]
+        ),
+    )
+
+
 def gen_crawl_children() -> None:
     from go_crawler_spark.datagen import page_html, page_url
     from go_crawler_spark.functions.htmlx import resolve_links_and_assets
@@ -701,6 +751,7 @@ def main() -> None:
     gen_semdedup()
     gen_crawl_flagship()
     gen_crawl_trap_refresh()
+    gen_anchor_pairs()
     gen_crawl_children()
     gen_simhash_pairs()
     gen_minhash_pairs()
