@@ -646,6 +646,32 @@ def scaling_report(sf_dir: str) -> None:
         "was also bench_once running at the 16g env-default heap instead",
         "of the working-set 12g (fixed: heap_gb_for_round in bench_once).",
         "",
+        "## Flagship cross-commit A/B (round 4)",
+        "",
+        "Mid-round-4, a headline rerun in a degraded box phase (same",
+        "session's pure-CPU ceiling probe read 0.739 for the 8→32-process",
+        "step) showed crawl_flagship at 50.4 s vs the driver's round-3",
+        "24.5 s, with the round-4 crawl-loop changes (per-fetch md5",
+        "fingerprint column, trap-gate plumbing, seen-filter Observation,",
+        "end-of-round localCheckpoint release) as suspects. Settled by a",
+        "cross-commit interleaved A/B in a later quiet phase: crawl_bench",
+        "(sf0.1, local[32], 12g heap, fresh subprocess per rep, arms",
+        "interleaved so placement luck hits both alike), HEAD vs the",
+        "round-3 verdict commit dea7332:",
+        "",
+        "| arm | secs (3 reps) | median |",
+        "|---|---|---|",
+        "| HEAD (round-4 changes) | 30.3 / 31.2 / 25.3 | 30.3 |",
+        "| dea7332 (pre-session) | 30.9 / 39.5 / 27.2 | 30.9 |",
+        "",
+        "Identical rounds (6) and fetched counts (89,812) on both arms —",
+        "the round-4 additions are behavior-neutral for a trap-free crawl",
+        "and cost nothing measurable (the md5 fingerprint rides the",
+        "existing fetched write; the Observation is a plan-side",
+        "CollectMetrics; the checkpoint release replaces leaked executor",
+        "storage with tmpfs parquet re-reads). The 50.4 s reading was the",
+        "box phase, not the code.",
+        "",
         "## Checkpoint codec (round 3)",
         "",
         "The per-round fetched/enqueue logs are the round's dominant bytes,",
