@@ -1242,6 +1242,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("anchors"),
         )
 
+    def redirect_resolve(spark, sf):
+        """Redirect-chain resolution under the Go client's request budget
+        [EXTENSION — crawl-data]: the reference's stock http.Client follows
+        Location hops silently (pkg/httpclient/client.go:24-27 → stdlib
+        defaultCheckRedirect, 10-request budget); in the table model each
+        hop is a row and resolution is binary pointer doubling — 3 jump-
+        table compositions + 4 budgeted descent joins, (url,string) only
+        exchanges, cycles fall out as budget-stopped (operators/
+        redirects.py). Input: the committed deterministic edge graph
+        (fixtures/redirect_edges.parquet == datagen.redirect_edges(40));
+        oracle: a hop-capped RECURSIVE CTE in DuckDB — an independent
+        algorithm over identical input bytes."""
+        from go_crawler_spark.datagen import redirect_edges_df
+        from go_crawler_spark.operators.redirects import resolve_redirects
+
+        edges = redirect_edges_df(spark, 40)
+        urls = edges.selectExpr("src_url AS url").union(
+            edges.selectExpr("dst_url AS url")
+        )
+        return resolve_redirects(urls, edges)
+
+    def canonical_consolidation(spark, sf):
+        """<link rel=canonical> consolidation [EXTENSION — webtext-data]:
+        the page's self-declared dedup key, discarded by the reference's
+        parser (internal/pageparser.go:28-68 keeps only fetch targets).
+        Extraction + resolution are pure JVM regexp/concat inside
+        whole-stage codegen (plan-asserted in tests/test_canonical.py);
+        the consolidation exchanges only (canonical_url, url) pairs
+        (operators/canonical.py). Oracle: DuckDB re-derives the mapping
+        from the raw html fixture with its own regexp engine (RE2) —
+        extraction parity is additionally pinned against an independent
+        attribute-dict parser in tests."""
+        from go_crawler_spark.datagen import canonical_pages_df
+        from go_crawler_spark.operators.canonical import consolidate_canonicals
+
+        return consolidate_canonicals(
+            canonical_pages_df(spark, _crawl_scale(sf) * 5)
+        )
+
     def crawl_extract_children(spark, sf):
         from go_crawler_spark.datagen import generate_pages_df
         from go_crawler_spark.functions.htmlx import extract_resolved_udf
@@ -1472,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_flagship": crawl_flagship,
         "crawl_trap_refresh": crawl_trap_refresh,
         "anchor_text_agg": anchor_text_agg,
+        "redirect_resolve": redirect_resolve,
+        "canonical_consolidation": canonical_consolidation,
         "crawl_extract_children": crawl_extract_children,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
@@ -2672,6 +2713,59 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{fix}/anchor_pairs.parquet')
             WHERE scale = {scale_key}
             GROUP BY dst
+        """,
+        "redirect_resolve": f"""
+            WITH RECURSIVE e AS (
+                SELECT src_url AS src, min(dst_url) AS dst
+                FROM read_parquet('{fix}/redirect_edges.parquet')
+                GROUP BY src_url
+            ), u AS (
+                SELECT src_url AS url
+                FROM read_parquet('{fix}/redirect_edges.parquet')
+                UNION
+                SELECT dst_url FROM read_parquet('{fix}/redirect_edges.parquet')
+            ), walk(url, cur, hops) AS (
+                SELECT url, url, 0 FROM u
+                UNION ALL
+                SELECT w.url, e.dst, w.hops + 1
+                FROM walk w JOIN e ON w.cur = e.src
+                WHERE w.hops < 10
+            ), fin AS (
+                SELECT url, max(hops) AS t, max_by(cur, hops) AS last
+                FROM walk GROUP BY url
+            )
+            SELECT url,
+                   CASE WHEN t >= 10 THEN NULL ELSE last END AS final_url,
+                   CAST(t AS INTEGER) AS hops,
+                   CASE WHEN t >= 10 THEN 'stopped_after_10_redirects'
+                        ELSE 'ok' END AS status
+            FROM fin
+        """,
+        "canonical_consolidation": f"""
+            WITH m AS (
+                SELECT url,
+                    regexp_replace(coalesce(
+                        nullif(regexp_extract(html,
+                            '<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']*)["'']',
+                            1), ''),
+                        nullif(regexp_extract(html,
+                            '<link[^>]*href=["'']([^"'']*)["''][^>]*rel=["'']canonical["'']',
+                            1), ''),
+                        ''), '#.*$', '') AS href,
+                    regexp_extract(url, '^(https?://[^/]+)', 1) AS origin
+                FROM read_parquet('{fix}/canonical_pages.parquet')
+                WHERE scale = {scale_key}
+            ), c AS (
+                SELECT url, CASE
+                    WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                        THEN href
+                    WHEN href LIKE '/%' THEN origin || href
+                    ELSE url END AS canonical_url
+                FROM m
+            )
+            SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_pages,
+                   min(url) AS representative
+            FROM c GROUP BY canonical_url
         """,
         "crawl_extract_children": f"""
             SELECT url, kind, child_url, pos

@@ -303,3 +303,98 @@ def trap_pages_df(spark: SparkSession, scale: int) -> DataFrame:
         for i, (u, b) in enumerate(sorted(trap_corpus_dict(scale).items()))
     ]
     return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# redirect graph (operators/redirects.py — Go defaultCheckRedirect semantics)
+# ---------------------------------------------------------------------------
+
+
+def redirect_edges(n_blocks: int = 40) -> List[tuple]:
+    """Deterministic redirect edge list ``(src_url, dst_url)`` exercising
+    every chain shape the Go client can meet (pkg/httpclient/client.go:24-27
+    → net/http defaultCheckRedirect): straight chains that fit / just fit /
+    just exceed the 10-request budget, pure cycles (incl. a self-loop),
+    rho shapes (tails into cycles), fan-in, and a duplicate-src conflict
+    for the min(dst) determinism rule. Each block is an isolated copy on
+    its own host, so the graph parallelizes embarrassingly."""
+    edges: List[tuple] = []
+    for b in range(n_blocks):
+        base = f"https://r{b}.example.com"
+        # chains of d hops: d ≤ 9 ok end-to-end; d ≥ 10 stopped from node 0
+        for d in (1, 2, 3, 5, 8, 9, 10, 11, 14):
+            for i in range(d):
+                edges.append(
+                    (f"{base}/chain{d}/{i}", f"{base}/chain{d}/{i + 1}")
+                )
+        # pure cycles (cyc1 = self-loop): every member is budget-stopped
+        for c in (1, 2, 3, 5):
+            for i in range(c):
+                edges.append(
+                    (f"{base}/cyc{c}/{i}", f"{base}/cyc{c}/{(i + 1) % c}")
+                )
+        # rho: a tail of t hops into a 3-cycle — stopped at every tail depth
+        for t in (3, 9, 10):
+            for i in range(t - 1):
+                edges.append((f"{base}/rho{t}/t{i}", f"{base}/rho{t}/t{i + 1}"))
+            edges.append((f"{base}/rho{t}/t{t - 1}", f"{base}/rho{t}/c0"))
+            edges.append((f"{base}/rho{t}/c0", f"{base}/rho{t}/c1"))
+            edges.append((f"{base}/rho{t}/c1", f"{base}/rho{t}/c2"))
+            edges.append((f"{base}/rho{t}/c2", f"{base}/rho{t}/c0"))
+        # fan-in: three sources collapse onto one terminal
+        for s in ("a", "b", "c"):
+            edges.append((f"{base}/fan/{s}", f"{base}/fan/z"))
+        # duplicate src: min(dst) keeps /dup/a (terminal), drops /dup/b
+        edges.append((f"{base}/dup/s", f"{base}/dup/b"))
+        edges.append((f"{base}/dup/s", f"{base}/dup/a"))
+        edges.append((f"{base}/dup/b", f"{base}/dup/b2"))
+    return edges
+
+
+def redirect_edges_df(spark: SparkSession, n_blocks: int = 40) -> DataFrame:
+    return spark.createDataFrame(
+        redirect_edges(n_blocks), "src_url string, dst_url string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# canonical-link corpus (operators/canonical.py)
+# ---------------------------------------------------------------------------
+
+
+def canonical_page_url(i: int) -> str:
+    return f"https://c{i % 40}.example.com/doc/{i}.html"
+
+
+def canonical_corpus_rows(n: int) -> List[tuple]:
+    """Deterministic (url, html) corpus for canonical-link consolidation.
+    Six page variants (i % 6): no-canonical, absolute rel-first,
+    root-relative single-quoted, root-relative with fragment,
+    href-before-rel absolute, and self-canonical; a stylesheet <link> decoy
+    rides every page so extraction must key on rel=canonical, not <link>."""
+    rows: List[tuple] = []
+    for i in range(n):
+        url = canonical_page_url(i)
+        g = i - (i % 6)  # group leader this page consolidates onto
+        decoy = '<link rel="stylesheet" href="/css/main.css">'
+        v = i % 6
+        if v == 0:
+            head = decoy
+        elif v == 1:
+            head = f'{decoy}<link rel="canonical" href="{canonical_page_url(g)}">'
+        elif v == 2:
+            head = f"{decoy}<link rel='canonical' href='/doc/{g}.html'>"
+        elif v == 3:
+            head = f'{decoy}<link rel="canonical" href="/doc/{g}.html#sect-2">'
+        elif v == 4:
+            head = f'{decoy}<link href="{canonical_page_url(g)}" rel="canonical">'
+        else:
+            head = f'{decoy}<link rel="canonical" href="{url}">'
+        rows.append(
+            (url, f"<html><head>{head}</head><body>doc {i}</body></html>")
+        )
+    return rows
+
+
+def canonical_pages_df(spark: SparkSession, n: int) -> DataFrame:
+    return spark.createDataFrame(canonical_corpus_rows(n), "url string, html string")

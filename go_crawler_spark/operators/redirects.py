@@ -1,0 +1,151 @@
+"""Redirect-chain resolution [EXTENSION — crawl-data].
+
+The reference crawler never sees a redirect as data: its Go HTTP client
+(`pkg/httpclient/client.go:24-27`) is a stock ``&http.Client{...}`` whose
+default ``CheckRedirect`` policy (Go stdlib ``net/http/client.go``,
+``defaultCheckRedirect``) silently follows Location hops until the chain
+would exceed **10 requests** (``len(via) >= 10`` → "stopped after 10
+redirects"), i.e. at most 9 followed redirects succeed and a chain that
+needs a 10th redirect fails the fetch. In the table model a crawl log
+records each hop as a row ``(src_url, dst_url)``, and resolving every
+URL's final fetch target is a *graph* problem, not a client loop.
+
+Scale shape (10^10 URLs, ~10^8 redirect rows):
+
+- The full URL set crosses ONE hash semi/anti-join against the redirect
+  ``src`` set: URLs that are not redirect sources are final at hop 0 and
+  never enter the iterative pipeline (at web scale that is ~99% of rows
+  exiting after a single bounded join).
+- The walkers advance by **binary pointer doubling**: jump tables
+  J1=edges, J2=J1∘J1, J4, J8 (three (src,dst)-only self-joins, each no
+  larger than the redirect table), then a greedy descent 8→4→2→1 under
+  the 10-request budget — 3 + 4 bounded joins total instead of 10
+  sequential frontier joins, and O(log) instead of O(chain) rounds.
+  Cycles need no special casing: every jump exists on a cycle, so the
+  descent exhausts the budget and lands on ``hops == max`` = stopped,
+  exactly like Go's client burning its request budget in a loop.
+- Nothing here touches page bytes; every exchange carries URL strings
+  and an int.
+
+Determinism: a crawl log can record conflicting Locations for one src
+(re-fetches). The resolver keeps ``min(dst)`` per src — a total,
+engine-independent rule (swap in ``min_by(dst, warc_ts)`` when a
+timestamp column is available).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Go net/http defaultCheckRedirect: error once len(via) >= 10 — a chain
+# is fetchable iff it completes within 10 requests (≤ 9 followed hops).
+GO_MAX_REQUESTS = 10
+
+STATUS_OK = "ok"
+STATUS_STOPPED = "stopped_after_10_redirects"  # Go's own error text
+
+
+def normalize_redirect_edges(edges: DataFrame, src: str = "src_url",
+                             dst: str = "dst_url") -> DataFrame:
+    """One outgoing edge per src: lexicographically-smallest Location wins
+    (total deterministic rule; see module docstring)."""
+    return (
+        edges.groupBy(F.col(src).alias("_src"))
+        .agg(F.min(F.col(dst)).alias("_dst"))
+    )
+
+
+def resolve_redirects(
+    urls: DataFrame,
+    edges: DataFrame,
+    url_col: str = "url",
+    src: str = "src_url",
+    dst: str = "dst_url",
+    max_requests: int = GO_MAX_REQUESTS,
+) -> DataFrame:
+    """Resolve each URL in ``urls[url_col]`` through the redirect table to
+    its final fetch target under the Go client's request budget.
+
+    Returns ``(url, final_url, hops, status)``:
+
+    - ``ok``: a terminal URL was reached within ``max_requests`` total
+      requests (``hops <= max_requests - 1`` followed redirects);
+      ``final_url`` is the terminal, ``hops`` the redirects followed.
+    - ``stopped_after_10_redirects``: the chain (or cycle) still has a
+      Location after ``max_requests - 1`` followed hops, so the next hop
+      would exceed the budget — Go errors, the fetch yields no page;
+      ``final_url`` is NULL and ``hops == max_requests`` (the capped walk
+      length, matching a hop-capped recursive-SQL walk).
+    """
+    budget = max_requests  # capped walk length: hops==budget ⇒ stopped
+    e1 = normalize_redirect_edges(edges, src, dst)
+
+    # Every join below hints shuffle_hash: the walk key changes at every
+    # jump, so a sort-merge join's sorted outputs are never reusable — the
+    # hint trades N useless sorts for hash builds on the (smaller) jump
+    # side, and AQE still upgrades to broadcast when a side is tiny.
+
+    # split: non-sources are final immediately and skip the pipeline
+    srcs = e1.select(F.col("_src")).hint("shuffle_hash")
+    base = urls.select(F.col(url_col).alias("url")).distinct()
+    terminal0 = (
+        base.join(srcs, base["url"] == srcs["_src"], "left_anti")
+        .select(
+            "url",
+            F.col("url").alias("final_url"),
+            F.lit(0).alias("hops"),
+            F.lit(STATUS_OK).alias("status"),
+        )
+    )
+    walkers = (
+        base.join(srcs, base["url"] == srcs["_src"], "left_semi")
+        .select("url", F.col("url").alias("cur"), F.lit(0).alias("hops"))
+    )
+
+    # jump tables J_{2^k} up to the largest power ≤ budget (greedy binary
+    # descent then reaches exactly min(chain_len, budget) for any budget):
+    # J_{2k} = J_k ∘ J_k — (src,dst)-only exchanges
+    jumps = {1: e1}
+    step = 1
+    while step * 2 <= budget:
+        a = jumps[step].select(
+            F.col("_src").alias("_a_src"), F.col("_dst").alias("_a_dst")
+        )
+        b = jumps[step].hint("shuffle_hash")
+        jumps[step * 2] = (
+            a.join(b, a["_a_dst"] == b["_src"])
+            .select(F.col("_a_src").alias("_src"), F.col("_dst").alias("_dst"))
+        )
+        step *= 2
+
+    # greedy binary descent: take each power-of-two jump iff the full jump
+    # exists AND it fits the remaining budget ⇒ hops = min(chain_len, budget)
+    for s in sorted(jumps, reverse=True):
+        j = jumps[s].select(
+            F.col("_src").alias(f"_j{s}_src"), F.col("_dst").alias(f"_j{s}_dst")
+        ).hint("shuffle_hash")
+        walkers = (
+            walkers.join(j, walkers["cur"] == j[f"_j{s}_src"], "left")
+            .withColumn(
+                "_take",
+                F.col(f"_j{s}_dst").isNotNull()
+                & (F.col("hops") + F.lit(s) <= F.lit(budget)),
+            )
+            .select(
+                "url",
+                F.when(F.col("_take"), F.col(f"_j{s}_dst"))
+                .otherwise(F.col("cur")).alias("cur"),
+                F.when(F.col("_take"), F.col("hops") + F.lit(s))
+                .otherwise(F.col("hops")).alias("hops"),
+            )
+        )
+
+    stopped = F.col("hops") >= F.lit(budget)
+    resolved = walkers.select(
+        "url",
+        F.when(~stopped, F.col("cur")).alias("final_url"),
+        F.col("hops").cast("int").alias("hops"),
+        F.when(stopped, F.lit(STATUS_STOPPED))
+        .otherwise(F.lit(STATUS_OK)).alias("status"),
+    )
+    return terminal0.unionByName(resolved)

@@ -1,0 +1,109 @@
+"""Redirect-chain resolution vs an independent pure-Python walker.
+
+Semantics under test (operators/redirects.py): Go net/http
+defaultCheckRedirect — a fetch completes iff the chain fits 10 requests
+(≤ 9 followed redirects); cycles and long chains are stopped with
+hops == 10 (the capped walk length); min(dst) wins a duplicate src.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_crawler_spark.datagen import redirect_edges, redirect_edges_df
+from go_crawler_spark.operators.redirects import (
+    STATUS_OK,
+    STATUS_STOPPED,
+    resolve_redirects,
+)
+
+
+def py_resolve(edges: list[tuple], budget: int = 10) -> dict[str, tuple]:
+    """Independent walker: literal hop-by-hop iteration, no doubling."""
+    nxt: dict[str, str] = {}
+    for s, d in edges:
+        nxt[s] = min(nxt[s], d) if s in nxt else d
+    out = {}
+    for u in sorted({s for s, _ in edges} | {d for _, d in edges}):
+        cur, hops = u, 0
+        while cur in nxt and hops < budget:
+            cur = nxt[cur]
+            hops += 1
+        if hops >= budget:
+            out[u] = (None, budget, STATUS_STOPPED)
+        else:
+            out[u] = (cur, hops, STATUS_OK)
+    return out
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    edges = redirect_edges_df(spark, 2)
+    urls = edges.selectExpr("src_url AS url").union(
+        edges.selectExpr("dst_url AS url")
+    )
+    rows = resolve_redirects(urls, edges).collect()
+    return {r["url"]: (r["final_url"], r["hops"], r["status"]) for r in rows}
+
+
+def test_matches_pure_python_walker(resolved):
+    expect = py_resolve(redirect_edges(2))
+    assert resolved == expect
+
+
+def test_one_row_per_url(spark):
+    edges = redirect_edges_df(spark, 1)
+    urls = edges.selectExpr("src_url AS url").union(
+        edges.selectExpr("dst_url AS url")
+    )
+    df = resolve_redirects(urls, edges)
+    assert df.count() == df.select("url").distinct().count()
+
+
+def test_go_budget_boundary(resolved):
+    """Chain of d hops: head is ok iff d ≤ 9 (10 requests); node k of a
+    d-chain needs d-k hops."""
+    base = "https://r0.example.com"
+    ok9 = resolved[f"{base}/chain9/0"]
+    assert ok9 == (f"{base}/chain9/9", 9, STATUS_OK)
+    # d=10: exactly one hop over the Go budget — terminal exists but is
+    # unreachable within 10 requests
+    assert resolved[f"{base}/chain10/0"] == (None, 10, STATUS_STOPPED)
+    # one step in, the remaining 9 hops fit
+    assert resolved[f"{base}/chain10/1"] == (
+        f"{base}/chain10/10", 9, STATUS_OK)
+    assert resolved[f"{base}/chain14/0"] == (None, 10, STATUS_STOPPED)
+
+
+def test_cycles_and_rho_are_stopped(resolved):
+    base = "https://r1.example.com"
+    assert resolved[f"{base}/cyc1/0"] == (None, 10, STATUS_STOPPED)
+    assert resolved[f"{base}/cyc5/3"] == (None, 10, STATUS_STOPPED)
+    for t in (3, 9, 10):
+        assert resolved[f"{base}/rho{t}/t0"][2] == STATUS_STOPPED
+        assert resolved[f"{base}/rho{t}/c1"][2] == STATUS_STOPPED
+
+
+def test_terminal_fanin_and_dup_src(resolved):
+    base = "https://r0.example.com"
+    # pure targets resolve to themselves at hop 0
+    assert resolved[f"{base}/fan/z"] == (f"{base}/fan/z", 0, STATUS_OK)
+    for s in ("a", "b", "c"):
+        assert resolved[f"{base}/fan/{s}"] == (f"{base}/fan/z", 1, STATUS_OK)
+    # duplicate src: min(dst)=/dup/a wins, so /dup/s never walks through b
+    assert resolved[f"{base}/dup/s"] == (f"{base}/dup/a", 1, STATUS_OK)
+    assert resolved[f"{base}/dup/b"] == (f"{base}/dup/b2", 1, STATUS_OK)
+
+
+def test_smaller_budget(spark):
+    """max_requests is honored for non-default budgets (jump-table set and
+    greedy descent adapt)."""
+    edges = redirect_edges_df(spark, 1)
+    urls = spark.createDataFrame(
+        [("https://r0.example.com/chain5/0",),
+         ("https://r0.example.com/chain3/0",)], "url string")
+    rows = {r["url"]: (r["final_url"], r["hops"], r["status"])
+            for r in resolve_redirects(urls, edges, max_requests=4).collect()}
+    assert rows["https://r0.example.com/chain5/0"] == (None, 4, STATUS_STOPPED)
+    assert rows["https://r0.example.com/chain3/0"] == (
+        "https://r0.example.com/chain3/3", 3, STATUS_OK)

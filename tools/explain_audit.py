@@ -292,6 +292,32 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "url#"),
     )
 
+    # redirect resolution: pointer-doubling walk is all-JVM (no Python
+    # eval nodes) and every exchange carries URL-string/int columns only
+    # (there is no page-byte column anywhere in the pipeline by design)
+    from go_crawler_spark.datagen import canonical_pages_df, redirect_edges_df
+    from go_crawler_spark.operators.canonical import extract_canonicals
+    from go_crawler_spark.operators.redirects import resolve_redirects
+
+    r_edges = redirect_edges_df(spark, 4)
+    r_urls = r_edges.selectExpr("src_url AS url").union(
+        r_edges.selectExpr("dst_url AS url"))
+    audit(
+        "redirect_resolve (jump-table doubling, all-JVM)",
+        resolve_redirects(r_urls, r_edges),
+        {"BatchEvalPython": False, "ArrowEvalPython": False,
+         "SortMergeJoin": False},
+    )
+
+    # canonical extraction: regexp/concat inside whole-stage codegen; page
+    # bytes never cross to Python and never enter an exchange (map-only)
+    audit(
+        "canonical_extract (JVM regexp, map-only)",
+        extract_canonicals(canonical_pages_df(spark, 60)),
+        {"BatchEvalPython": False, "ArrowEvalPython": False,
+         "Exchange": False, "codegen id": True},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",

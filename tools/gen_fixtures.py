@@ -745,6 +745,41 @@ def gen_semdedup(k: int = 8, n_iters: int = 4, threshold: float = 0.4) -> None:
     )
 
 
+def gen_redirect_edges() -> None:
+    """INPUT fixture for the redirect_resolve contract query: the shared
+    deterministic edge graph (datagen.redirect_edges) committed as parquet
+    so the DuckDB oracle's hop-capped recursive CTE and the engine's
+    pointer-doubling resolver read identical bytes. The implementations
+    are independent; only the input is shared."""
+    from go_crawler_spark.datagen import redirect_edges
+
+    rows = [dict(src_url=s, dst_url=d) for s, d in redirect_edges(40)]
+    write(
+        "redirect_edges",
+        rows,
+        pa.schema([("src_url", pa.string()), ("dst_url", pa.string())]),
+    )
+
+
+def gen_canonical_pages() -> None:
+    """INPUT fixture for canonical_consolidation: the deterministic
+    (url, html) corpus (datagen.canonical_corpus_rows) committed per scale
+    so the DuckDB oracle re-derives the canonical mapping from the raw
+    html with its own regexp engine."""
+    from go_crawler_spark.datagen import canonical_corpus_rows
+
+    rows = []
+    for sf, scale in SCALES.items():
+        for url, html in canonical_corpus_rows(scale * 5):
+            rows.append(dict(url=url, html=html, scale=scale))
+    write(
+        "canonical_pages",
+        rows,
+        pa.schema([("url", pa.string()), ("html", pa.string()),
+                   ("scale", pa.int32())]),
+    )
+
+
 def main() -> None:
     os.makedirs(FIXTURES, exist_ok=True)
     gen_cms_host_counts()
@@ -762,6 +797,8 @@ def main() -> None:
     gen_multimodal_frames()
     gen_streaming_host_metrics()
     gen_robots_rules()
+    gen_redirect_edges()
+    gen_canonical_pages()
 
 
 if __name__ == "__main__":
