@@ -1281,6 +1281,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             canonical_pages_df(spark, _crawl_scale(sf) * 5)
         )
 
+    def dup_ngram_spans(spark, sf):
+        """Exact duplicate-substring spans (Lee et al. 2022, ExactSubstr
+        side) [EXTENSION — LLM-pipeline]: maximal per-doc token spans
+        covered by 8-token windows occurring ≥2 times corpus-wide —
+        window fingerprints are map-only JVM md5 (bit-identical in the
+        DuckDB oracle; xxhash64 is the documented 10^13-window swap),
+        only (doc_id, pos, hash) rows exchange, interval merge is one
+        gaps-and-islands window pass (operators/substring_dedup.py)."""
+        from go_crawler_spark.operators.substring_dedup import (
+            duplicate_ngram_spans,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return duplicate_ngram_spans(docs, "text", "doc_id", k=8)
+
     def crawl_extract_children(spark, sf):
         from go_crawler_spark.datagen import generate_pages_df
         from go_crawler_spark.functions.htmlx import extract_resolved_udf
@@ -1513,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": anchor_text_agg,
         "redirect_resolve": redirect_resolve,
         "canonical_consolidation": canonical_consolidation,
+        "dup_ngram_spans": dup_ngram_spans,
         "crawl_extract_children": crawl_extract_children,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
@@ -2766,6 +2782,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_pages,
                    min(url) AS representative
             FROM c GROUP BY canonical_url
+        """,
+        "dup_ngram_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS_SQL.format(c="lower(text)")} AS t
+                FROM documents
+            ), win AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(t[i:i+7], ' ')) AS h
+                FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+                WHERE len(t) >= 8
+            ), dup AS (
+                SELECT doc_id, pos AS s, pos + 8 AS e FROM win
+                WHERE h IN (SELECT h FROM win GROUP BY h HAVING count(*) >= 2)
+            ), marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                            OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS ni
+                FROM dup
+            ), isl AS (
+                SELECT doc_id, s, e,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island
+                FROM marked
+            )
+            SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+                   CAST(max(e) AS INTEGER) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, island
         """,
         "crawl_extract_children": f"""
             SELECT url, kind, child_url, pos
