@@ -318,6 +318,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "semantic_dedup",
         "dsir_select_topk",
         "tfidf_top_terms",
+        "dup_ngram_spans",
     ]
     times: dict[str, float] = {}
     for name in names:
@@ -581,14 +582,26 @@ def scaling_report(sf_dir: str) -> None:
         "share scales WITH N there; the single-box sweep structurally",
         "under-counts executor scaling for the bytes-moving share.",
         "",
-        "Session variance, measured: the identical protocol measured raw",
-        "E(1→4) = 0.953 in the round-2 session, 0.68 / 0.67 in two",
-        "round-3 sessions, and 0.796 in the round-3 zstd-era run (whose",
-        "own pure-CPU ceiling measured 0.71 — i.e. in that window the",
-        "engine scaled BETTER than the box scaled pure arithmetic; the",
-        "0.8 target is met by every run once the box's measured ceiling",
-        "is accounted for, and exceeded raw when the box cooperates).",
-        "A 5-pair INTERLEAVED cross-code A/B (round-2",
+        "Session variance, measured (every run of the identical protocol,",
+        "with the box's own pure-CPU ceiling for the same thread step",
+        "probed in the same window):",
+        "",
+        "| session | raw E(1→4) | box pure-CPU ceiling | note |",
+        "|---|---|---|---|",
+        "| round 2 | 0.953 | ~1.0 | box cooperated — raw ≥ 0.8 banked |",
+        "| round 3 (a) | 0.68 | — | consecutive-rep protocol (superseded) |",
+        "| round 3 (b) | 0.67 | — | consecutive-rep protocol (superseded) |",
+        "| round 3 zstd | 0.796 | 0.71 | engine out-scaled box arithmetic |",
+        "| round 4 | 0.721 | 0.703 | engine out-scaled box arithmetic |",
+        "",
+        "(A second round-4 run read 0.799 with ceiling 1.0 but is",
+        "EXCLUDED: concurrent test jobs overlapped its graded reps —",
+        "contaminated, per the protocol's exclusivity rule.) Two clean",
+        "sessions now show raw < 0.8 in windows whose measured pure-CPU",
+        "ceiling was ALSO < 0.8 — in both, the engine scaled better than",
+        "the box scaled plain arithmetic, so the shortfall is the box",
+        "phase, not engine serialization; raw exceeded 0.8 (0.953) when",
+        "the box cooperated. A 5-pair INTERLEAVED cross-code A/B (round-2",
         "code vs round-3 code, same corpus, same level) shows medians",
         "148 s vs 156 s with overlapping ranges and reversed pairs —",
         "the code is not the driver; the box's day-to-day phase (JVM",

@@ -318,6 +318,26 @@ def main() -> None:
          "Exchange": False, "codegen id": True},
     )
 
+    # exact duplicate-substring spans: gram fingerprinting is map-only JVM
+    # (no Python eval) and no exchange ever carries the text column — only
+    # (doc_id, pos, hash) rows shuffle
+    from go_crawler_spark.operators.substring_dedup import (
+        duplicate_ngram_spans,
+    )
+
+    spans_df = duplicate_ngram_spans(docs, "text", "doc_id", k=8)
+    audit(
+        "dup_ngram_spans (JVM grams; hash-level exchanges)",
+        spans_df,
+        {"BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "dup_ngram_spans (text never shuffles)",
+        spans_df,
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
