@@ -1263,6 +1263,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resolve_redirects(urls, edges)
 
+    def redirect_alias_dedup(spark, sf):
+        """Redirect-aware alias dedup [EXTENSION — crawl-data]: URLs whose
+        chains land on one final target are ONE page, so the dedup moves
+        BEFORE the fetch (the reference fetches every alias:
+        pkg/httpclient/client.go:48-71 resolves per-request, and identity
+        only collapses later by content). Composition of resolve_redirects
+        + a groupBy on final_url; budget-stopped chains yield no page and
+        are excluded (operators/redirects.py::dedup_by_final_url)."""
+        from go_crawler_spark.datagen import redirect_edges_df
+        from go_crawler_spark.operators.redirects import dedup_by_final_url
+
+        edges = redirect_edges_df(spark, 40)
+        urls = edges.selectExpr("src_url AS url").union(
+            edges.selectExpr("dst_url AS url")
+        )
+        return dedup_by_final_url(urls, edges)
+
     def canonical_consolidation(spark, sf):
         """<link rel=canonical> consolidation [EXTENSION — webtext-data]:
         the page's self-declared dedup key, discarded by the reference's
@@ -1527,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_refresh": crawl_trap_refresh,
         "anchor_text_agg": anchor_text_agg,
         "redirect_resolve": redirect_resolve,
+        "redirect_alias_dedup": redirect_alias_dedup,
         "canonical_consolidation": canonical_consolidation,
         "dup_ngram_spans": dup_ngram_spans,
         "crawl_extract_children": crawl_extract_children,
@@ -2756,6 +2774,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN t >= 10 THEN 'stopped_after_10_redirects'
                         ELSE 'ok' END AS status
             FROM fin
+        """,
+        "redirect_alias_dedup": f"""
+            WITH RECURSIVE e AS (
+                SELECT src_url AS src, min(dst_url) AS dst
+                FROM read_parquet('{fix}/redirect_edges.parquet')
+                GROUP BY src_url
+            ), u AS (
+                SELECT src_url AS url
+                FROM read_parquet('{fix}/redirect_edges.parquet')
+                UNION
+                SELECT dst_url FROM read_parquet('{fix}/redirect_edges.parquet')
+            ), walk(url, cur, hops) AS (
+                SELECT url, url, 0 FROM u
+                UNION ALL
+                SELECT w.url, e.dst, w.hops + 1
+                FROM walk w JOIN e ON w.cur = e.src
+                WHERE w.hops < 10
+            ), fin AS (
+                SELECT url, max(hops) AS t, max_by(cur, hops) AS last
+                FROM walk GROUP BY url
+            )
+            SELECT last AS final_url, CAST(count(*) AS BIGINT) AS n_aliases,
+                   min(url) AS first_alias
+            FROM fin WHERE t < 10 GROUP BY last
         """,
         "canonical_consolidation": f"""
             WITH m AS (

@@ -149,3 +149,32 @@ def resolve_redirects(
         .otherwise(F.lit(STATUS_OK)).alias("status"),
     )
     return terminal0.unionByName(resolved)
+
+
+def dedup_by_final_url(
+    urls: DataFrame,
+    edges: DataFrame,
+    url_col: str = "url",
+    src: str = "src_url",
+    dst: str = "dst_url",
+    max_requests: int = GO_MAX_REQUESTS,
+) -> DataFrame:
+    """Redirect-aware alias dedup: URLs whose chains land on the same
+    final target are ONE page — the fetch scheduler should spend one
+    request on the group, not one per alias (the reference fetches every
+    alias separately and only its page-content identity collapses later;
+    resolving first moves the dedup BEFORE the fetch). Budget-stopped
+    chains yield no page and are excluded.
+
+    Returns ``(final_url, n_aliases, first_alias)`` — first_alias is the
+    smallest member URL (total deterministic rule, matching the repo's
+    first-writer conventions)."""
+    resolved = resolve_redirects(urls, edges, url_col, src, dst, max_requests)
+    return (
+        resolved.filter(F.col("status") == STATUS_OK)
+        .groupBy("final_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.min("url").alias("first_alias"),
+        )
+    )

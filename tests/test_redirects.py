@@ -107,3 +107,25 @@ def test_smaller_budget(spark):
     assert rows["https://r0.example.com/chain5/0"] == (None, 4, STATUS_STOPPED)
     assert rows["https://r0.example.com/chain3/0"] == (
         "https://r0.example.com/chain3/3", 3, STATUS_OK)
+
+
+def test_alias_dedup(spark):
+    from go_crawler_spark.operators.redirects import dedup_by_final_url
+
+    edges = redirect_edges_df(spark, 1)
+    urls = edges.selectExpr("src_url AS url").union(
+        edges.selectExpr("dst_url AS url")
+    )
+    groups = {r["final_url"]: r for r in
+              dedup_by_final_url(urls, edges).collect()}
+    base = "https://r0.example.com"
+    # fan/z absorbs its three sources plus itself
+    assert groups[f"{base}/fan/z"]["n_aliases"] == 4
+    assert groups[f"{base}/fan/z"]["first_alias"] == f"{base}/fan/a"
+    # chain9: all ten members resolve to the tail
+    assert groups[f"{base}/chain9/9"]["n_aliases"] == 10
+    # chain10: node 0 is budget-stopped and must NOT appear as an alias
+    assert groups[f"{base}/chain10/10"]["n_aliases"] == 10
+    # no stopped chain contributes a NULL/cycle group
+    assert None not in groups
+    assert not any("/cyc" in k for k in groups)
