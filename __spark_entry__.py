@@ -1313,6 +1313,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return duplicate_ngram_spans(docs, "text", "doc_id", k=8)
 
+    def excise_dup_spans(spark, sf):
+        """The cleaning half of ExactSubstr [EXTENSION — LLM-pipeline]:
+        remove every duplicated span's tokens from each document (all
+        occurrences — the aggressive variant), with removed-token
+        accounting. JVM-only index-filter HOF over the merged spans
+        (operators/substring_dedup.py::excise_duplicate_spans); oracle =
+        DuckDB rebuilding the text with nested list lambdas over the same
+        independently recomputed spans."""
+        from go_crawler_spark.operators.substring_dedup import (
+            duplicate_ngram_spans,
+            excise_duplicate_spans,
+        )
+
+        docs = _t(spark, sf, "documents")
+        spans = duplicate_ngram_spans(docs, "text", "doc_id", k=8)
+        return excise_duplicate_spans(docs, spans)
+
     def crawl_extract_children(spark, sf):
         from go_crawler_spark.datagen import generate_pages_df
         from go_crawler_spark.functions.htmlx import extract_resolved_udf
@@ -1547,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_alias_dedup": redirect_alias_dedup,
         "canonical_consolidation": canonical_consolidation,
         "dup_ngram_spans": dup_ngram_spans,
+        "excise_dup_spans": excise_dup_spans,
         "crawl_extract_children": crawl_extract_children,
         "minhash_near_dup_pairs": minhash_near_dup_pairs,
         "simhash_near_dup_pairs": simhash_near_dup_pairs,
@@ -2856,6 +2874,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(e) AS INTEGER) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM isl GROUP BY doc_id, island
+        """,
+        "excise_dup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS_SQL.format(c="lower(text)")} AS t
+                FROM documents
+            ), win AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(t[i:i+7], ' ')) AS h
+                FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+                WHERE len(t) >= 8
+            ), dup AS (
+                SELECT doc_id, pos AS s, pos + 8 AS e FROM win
+                WHERE h IN (SELECT h FROM win GROUP BY h HAVING count(*) >= 2)
+            ), marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                            OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS ni
+                FROM dup
+            ), isl AS (
+                SELECT doc_id, s, e,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island
+                FROM marked
+            ), spans AS (
+                SELECT doc_id, min(s) AS a, max(e) AS b
+                FROM isl GROUP BY doc_id, island
+            ), per_doc AS (
+                SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+                FROM spans GROUP BY doc_id
+            ), kept AS (
+                SELECT t.doc_id,
+                       list_filter(list_transform(
+                           generate_series(1, len(t.t)),
+                           i -> CASE WHEN len(list_filter(
+                                    coalesce(p.sp, []),
+                                    s -> i - 1 >= s.a AND i - 1 < s.b)) > 0
+                                THEN NULL ELSE t.t[i] END),
+                           x -> x IS NOT NULL) AS k,
+                       len(t.t) AS n
+                FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+            )
+            SELECT doc_id,
+                   coalesce(list_aggregate(k, 'string_agg', ' '), '')
+                       AS clean_text,
+                   CAST(n - len(k) AS INTEGER) AS n_removed_tokens
+            FROM kept
         """,
         "crawl_extract_children": f"""
             SELECT url, kind, child_url, pos
