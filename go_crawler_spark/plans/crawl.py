@@ -342,6 +342,7 @@ def resume_crawl(
     trap_templates: Optional[DataFrame] = None,
     trap_refresh_rounds: int = 0,
     trap_min_urls: int = 20,
+    redirects: Optional[DataFrame] = None,
 ) -> CrawlResult:
     """Resume an interrupted crawl from its workdir checkpoint (C6
     [EXTENSION] — the north rule requires any round to be resumable).
@@ -367,6 +368,7 @@ def resume_crawl(
         trap_templates=trap_templates,
         trap_refresh_rounds=trap_refresh_rounds,
         trap_min_urls=trap_min_urls,
+        redirects=redirects,
         _resume_from=man["round"] + 1,
     )
 
@@ -455,6 +457,7 @@ def run_crawl(
     trap_templates: Optional[DataFrame] = None,
     trap_refresh_rounds: int = 0,
     trap_min_urls: int = 20,
+    redirects: Optional[DataFrame] = None,
     _resume_from: Optional[int] = None,
 ) -> CrawlResult:
     """Drive the BFS loop. ``pages`` is the (url, warc_ts, html, text, lang)
@@ -463,6 +466,19 @@ def run_crawl(
     output or a raw (template) list — e.g. censused from a PRIOR crawl's
     pages) whose matching frontier URLs are blocked with status
     ``skipped_trap`` (staying seen, like robots blocks).
+
+    ``redirects`` [EXTENSION] is an optional ``(src_url, dst_url)`` hop
+    table: each round's frontier pre-resolves through it
+    (:func:`go_crawler_spark.operators.redirects.resolve_redirects`, the
+    Go client's 10-request budget) BEFORE politeness and the fetch —
+    budget-stopped chains are blocked as ``skipped_redirect`` (staying
+    seen, Go's client would error after burning its budget), and resolved
+    rows fetch the FINAL target's content while keeping their original
+    URL identity (reference parity: the Go client returns only the body,
+    pkg/httpclient/client.go:48-71 — the response URL is discarded, so
+    seen/dedup/children all key on the enqueued URL). Politeness re-keys
+    on the resolved host — the request lands there, so slots must bound
+    the target, not the alias.
 
     ``trap_refresh_rounds=R`` (0 = off) closes the trap loop IN-CRAWL: every
     R rounds the fetched-so-far log is re-censused
@@ -642,6 +658,34 @@ def run_crawl(
         if robots is not None:
             allowed, rblocked = apply_robots(allowed, robots)
             blocked_parts.append(_blocked_log(rblocked, "skipped_robots"))
+        if redirects is not None:
+            # [EXTENSION] pre-fetch redirect resolution: pointer-doubling
+            # walk over the (src,dst) hop table (operators/redirects.py);
+            # the mapping join carries URL strings only
+            from go_crawler_spark.operators.redirects import (
+                STATUS_STOPPED,
+                resolve_redirects,
+            )
+
+            mapping = resolve_redirects(allowed, redirects).select(
+                "url",
+                F.col("final_url").alias("_final"),
+                F.col("status").alias("_rstatus"),
+            )
+            allowed = allowed.join(mapping, "url", "left")
+            rstop = F.col("_rstatus") == F.lit(STATUS_STOPPED)
+            blocked_parts.append(_blocked_log(
+                allowed.filter(rstop).drop("_final", "_rstatus"),
+                "skipped_redirect",
+            ))
+            allowed = (
+                allowed.filter(F.col("_rstatus").isNull() | ~rstop)
+                .withColumn("_fetch_url", F.coalesce("_final", "url"))
+                # the request lands on the resolved host: politeness slots
+                # must bound the target, not the alias
+                .withColumn("host", registrable_host_udf("_fetch_url"))
+                .drop("_final", "_rstatus")
+            )
         if blocked_parts:
             blk = blocked_parts[0]
             for b in blocked_parts[1:]:
@@ -670,10 +714,25 @@ def run_crawl(
         # costs more in GC than the pruned rescan saves (~2 GB of columnar
         # cache per 100k pages).
         bcast = n_frontier <= cfg.broadcast_fetch_max_rows
-        hits = fetch_hits(fetch_now, pages, broadcast_frontier=bcast)
+        if redirects is not None:
+            # fetch the resolved target's content under the ORIGINAL url
+            # identity (see docstring): swap url/_fetch_url around the
+            # corpus join, restore after
+            fetch_in = (
+                fetch_now.withColumnRenamed("url", "_orig_url")
+                .withColumnRenamed("_fetch_url", "url")
+            )
+        else:
+            fetch_in = fetch_now
+        hits = fetch_hits(fetch_in, pages, broadcast_frontier=bcast)
         fetched = fetch_round(
-            fetch_now, hits, cfg.max_file_size, broadcast_frontier=bcast
+            fetch_in, hits, cfg.max_file_size, broadcast_frontier=bcast
         ).withColumn("round", F.lit(rnd))
+        if redirects is not None:
+            fetched = (
+                fetched.withColumn("url", F.col("_orig_url"))
+                .drop("_orig_url")
+            )
         child_t = "array<struct<kind:string,url:string,pos:int>>"
         # Null the heavy html ARGUMENT, not the UDF result: Spark extracts
         # Python UDFs out of conditionals and evaluates them for every row,

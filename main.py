@@ -69,6 +69,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="census threshold: templates with at least this "
                         "many fetched URLs (and <=1/4 distinct content) "
                         "are flagged as traps")
+    p.add_argument("--redirects", help="parquet of (src_url, dst_url) "
+                   "redirect hops; each round's frontier pre-resolves "
+                   "through it under the Go client's 10-request budget — "
+                   "budget-stopped chains are blocked as skipped_redirect, "
+                   "resolved rows fetch the final target's content under "
+                   "their original URL identity")
     p.add_argument("--robots", help="parquet/csv path with "
                    "(host, disallow_prefix) rules, an RFC 9309 rules "
                    "table from parse_robots_rules, or a (host, body) "
@@ -170,6 +176,9 @@ def main(argv=None) -> None:
     trap_templates = (
         spark.read.parquet(args.trap_templates) if args.trap_templates else None
     )
+    redirects = (
+        spark.read.parquet(args.redirects) if args.redirects else None
+    )
 
     if args.resume:
         res = resume_crawl(spark, pages, cfg, args.resume,
@@ -177,7 +186,8 @@ def main(argv=None) -> None:
                            host_slots=host_slots,
                            trap_templates=trap_templates,
                            trap_refresh_rounds=args.trap_refresh_rounds,
-                           trap_min_urls=args.trap_min_urls)
+                           trap_min_urls=args.trap_min_urls,
+                           redirects=redirects)
     else:
         if args.seeds_file:
             if args.seeds_file.endswith(".parquet") or os.path.isdir(args.seeds_file):
@@ -198,7 +208,8 @@ def main(argv=None) -> None:
                         host_slots=host_slots,
                         trap_templates=trap_templates,
                         trap_refresh_rounds=args.trap_refresh_rounds,
-                        trap_min_urls=args.trap_min_urls)
+                        trap_min_urls=args.trap_min_urls,
+                        redirects=redirects)
 
     # publish the user-facing tables (S4 sink + schedule + metrics);
     # pages_out/fetched are None when no round produced a fetched_ log

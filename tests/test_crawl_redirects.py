@@ -1,0 +1,126 @@
+"""In-crawl redirect resolution (run_crawl(redirects=...)): aliases fetch
+the final target's content under their own URL identity, budget-stopped
+chains are blocked as skipped_redirect, and the default (no redirects)
+path is untouched."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_crawler_spark.config import CrawlConfig
+from go_crawler_spark.plans.crawl import run_crawl
+
+H = "https://site.example.com"
+EPOCH = dt.datetime(2025, 1, 1)
+
+
+def _page(links: list[str], body: str) -> bytes:
+    a = "".join(f'<a href="{u}">x</a>' for u in links)
+    return f"<html><body>{a}<p>{body}</p></body></html>".encode()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # hub links to: a direct page, an ALIAS (redirects to /real.html, which
+    # is also in the corpus under its final URL), a 2-cycle loop URL, and a
+    # chain that exceeds the 10-request budget
+    rows = {
+        f"{H}/hub.html": _page(
+            [f"{H}/direct.html", f"{H}/alias.html", f"{H}/loop0.html",
+             f"{H}/long0.html"],
+            "hub",
+        ),
+        f"{H}/direct.html": _page([], "direct body"),
+        # content exists ONLY under the final URL — the alias must still
+        # come back with this body
+        f"{H}/real.html": _page([f"{H}/leaf.html"], "real body"),
+        f"{H}/leaf.html": _page([], "leaf body"),
+        f"{H}/long10.html": _page([], "far body"),
+    }
+    return spark.createDataFrame(
+        [(u, EPOCH, b, "", "en") for u, b in sorted(rows.items())],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+@pytest.fixture(scope="module")
+def redirect_edges(spark):
+    edges = [(f"{H}/alias.html", f"{H}/real.html"),
+             (f"{H}/loop0.html", f"{H}/loop1.html"),
+             (f"{H}/loop1.html", f"{H}/loop0.html")]
+    edges += [(f"{H}/long{i}.html", f"{H}/long{i + 1}.html")
+              for i in range(10)]  # 10 hops > 9-redirect budget
+    return spark.createDataFrame(edges, "src_url string, dst_url string")
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, redirect_edges, tmp_path_factory):
+    cfg = CrawlConfig(max_count=50)
+    return run_crawl(
+        spark, corpus, [f"{H}/hub.html"], cfg,
+        workdir=str(tmp_path_factory.mktemp("crawl_redirects")),
+        redirects=redirect_edges,
+    )
+
+
+def test_alias_fetches_final_content(result):
+    pages = {r["url"]: r for r in result.pages_out.collect()}
+    alias = pages[f"{H}/alias.html"]
+    # identity stays the alias; content is the final target's
+    assert alias["status"] == "ok"
+    assert b"real body" in bytes(alias["html"])
+    # children extracted from the final content were enqueued and fetched
+    assert pages[f"{H}/leaf.html"]["status"] == "ok"
+
+
+def test_loop_and_long_chain_blocked(result, spark):
+    # blocked rows surface in the fetched log with the skip status (same
+    # convention as skipped_robots / skipped_trap) and never carry content
+    status = {r["url"]: r["status"] for r in result.fetched.collect()}
+    assert status[f"{H}/loop0.html"] == "skipped_redirect"
+    assert status[f"{H}/long0.html"] == "skipped_redirect"
+    pages = {r["url"] for r in result.pages_out.collect()}
+    assert f"{H}/loop0.html" not in pages
+    assert f"{H}/long0.html" not in pages
+    # and the URLs stay seen (never re-enqueued)
+    seen = {r["url"] for r in result.seen.collect()}
+    assert f"{H}/loop0.html" in seen and f"{H}/long0.html" in seen
+
+
+def test_blocked_log_status(result, spark):
+    import os
+
+    from go_crawler_spark.tableio import make_tableio
+
+    io = make_tableio(spark, result.workdir)
+    names = io.list_names("blocked_")
+    assert names
+    blocked = {
+        (r["url"], r["status"])
+        for r in io.read(*names).select("url", "status").collect()
+    }
+    assert (f"{H}/loop0.html", "skipped_redirect") in blocked
+    assert (f"{H}/long0.html", "skipped_redirect") in blocked
+
+
+def test_direct_page_unaffected(result):
+    pages = {r["url"]: r for r in result.pages_out.collect()}
+    assert pages[f"{H}/direct.html"]["status"] == "ok"
+    assert b"direct body" in bytes(pages[f"{H}/direct.html"]["html"])
+
+
+def test_no_redirects_default_identical(spark, corpus, tmp_path_factory):
+    """redirects=None must leave the plan and results exactly as before."""
+    cfg = CrawlConfig(max_count=50)
+    res = run_crawl(
+        spark, corpus, [f"{H}/hub.html"], cfg,
+        workdir=str(tmp_path_factory.mktemp("crawl_plain")),
+    )
+    rows = {r["url"]: r["status"] for r in res.fetched.collect()}
+    # without resolution the alias/loop/long URLs are plain dead fetches
+    assert rows[f"{H}/alias.html"] == "skipped_download"
+    assert rows[f"{H}/loop0.html"] == "skipped_download"
+    assert rows[f"{H}/direct.html"] == "ok"

@@ -129,3 +129,30 @@ def test_alias_dedup(spark):
     # no stopped chain contributes a NULL/cycle group
     assert None not in groups
     assert not any("/cyc" in k for k in groups)
+
+
+def test_random_functional_graphs_property(spark):
+    """Property: on arbitrary functional graphs (every node ≤1 outgoing
+    edge, arbitrary chains/trees/rho shapes), the pointer-doubling
+    resolver equals the literal hop-by-hop walker — including non-default
+    budgets that are not sums of distinct powers of two below them."""
+    import random
+
+    rng = random.Random(1234)
+    for trial, budget in ((0, 10), (1, 10), (2, 7), (3, 3), (4, 16)):
+        n = 120
+        edges = []
+        for i in range(n):
+            if rng.random() < 0.8:  # 20% terminals
+                edges.append((f"u{i}", f"u{rng.randrange(n)}"))
+        # a few duplicate srcs to exercise the min(dst) rule
+        for i in rng.sample(range(n), 5):
+            edges.append((f"u{i}", f"u{rng.randrange(n)}"))
+        expect = py_resolve(edges, budget)
+        df_edges = spark.createDataFrame(edges, "src_url string, dst_url string")
+        urls = df_edges.selectExpr("src_url AS url").union(
+            df_edges.selectExpr("dst_url AS url"))
+        got = {r["url"]: (r["final_url"], r["hops"], r["status"])
+               for r in resolve_redirects(
+                   urls, df_edges, max_requests=budget).collect()}
+        assert got == expect, f"trial {trial} budget {budget}"
