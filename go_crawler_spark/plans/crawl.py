@@ -686,6 +686,29 @@ def run_crawl(
                 .withColumn("host", registrable_host_udf("_fetch_url"))
                 .drop("_final", "_rstatus")
             )
+            if robots is not None:
+                # robots applies per-REQUEST: a redirect into a disallowed
+                # path is blocked even when the alias itself is allowed
+                # (re-checking unredirected rows is idempotent — they
+                # already passed above)
+                chk = (
+                    allowed.withColumnRenamed("url", "_orig_url")
+                    .withColumnRenamed("_fetch_url", "url")
+                )
+                ok2, rb2 = apply_robots(chk, robots)
+
+                def _restore(d: DataFrame) -> DataFrame:
+                    return (
+                        d.withColumnRenamed("url", "_fetch_url")
+                        .withColumnRenamed("_orig_url", "url")
+                    )
+
+                blocked_parts.append(
+                    _blocked_log(
+                        _restore(rb2).drop("_fetch_url"), "skipped_robots"
+                    )
+                )
+                allowed = _restore(ok2)
         if blocked_parts:
             blk = blocked_parts[0]
             for b in blocked_parts[1:]:

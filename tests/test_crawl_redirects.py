@@ -124,3 +124,27 @@ def test_no_redirects_default_identical(spark, corpus, tmp_path_factory):
     assert rows[f"{H}/alias.html"] == "skipped_download"
     assert rows[f"{H}/loop0.html"] == "skipped_download"
     assert rows[f"{H}/direct.html"] == "ok"
+
+
+def test_robots_applies_to_redirect_target(spark, corpus, redirect_edges,
+                                           tmp_path_factory):
+    """robots is per-REQUEST: an allowed alias redirecting into a
+    disallowed path must be blocked (and an allowed target still fetches
+    through an allowed alias)."""
+    robots = spark.createDataFrame(
+        [("site.example.com", "/real")], "host string, disallow_prefix string"
+    )
+    cfg = CrawlConfig(max_count=50)
+    res = run_crawl(
+        spark, corpus, [f"{H}/hub.html"], cfg,
+        workdir=str(tmp_path_factory.mktemp("crawl_redirects_robots")),
+        redirects=redirect_edges, robots=robots,
+    )
+    status = {r["url"]: r["status"] for r in res.fetched.collect()}
+    # /alias.html itself is allowed, but it resolves to /real.html which
+    # robots disallows — blocked at the target
+    assert status[f"{H}/alias.html"] == "skipped_robots"
+    # unredirected allowed pages are untouched by the second check
+    assert status[f"{H}/direct.html"] == "ok"
+    # /real.html's child never gets discovered (the alias never fetched)
+    assert f"{H}/leaf.html" not in status
