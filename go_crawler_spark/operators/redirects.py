@@ -62,6 +62,7 @@ def resolve_redirects(
     src: str = "src_url",
     dst: str = "dst_url",
     max_requests: int = GO_MAX_REQUESTS,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Resolve each URL in ``urls[url_col]`` through the redirect table to
     its final fetch target under the Go client's request budget.
@@ -76,6 +77,12 @@ def resolve_redirects(
       would exceed the budget — Go errors, the fetch yields no page;
       ``final_url`` is NULL and ``hops == max_requests`` (the capped walk
       length, matching a hop-capped recursive-SQL walk).
+
+    ``assume_unique=True`` skips the defensive de-duplication of the input
+    URL set (same contract as ``CrawlConfig.seeds_unique``): a caller whose
+    input is unique by construction — a seen-deduped crawl frontier, the
+    redirect-source set itself — must not pay a full shuffle+agg of every
+    URL just to re-prove it.
     """
     budget = max_requests  # capped walk length: hops==budget ⇒ stopped
     e1 = normalize_redirect_edges(edges, src, dst)
@@ -87,7 +94,9 @@ def resolve_redirects(
 
     # split: non-sources are final immediately and skip the pipeline
     srcs = e1.select(F.col("_src")).hint("shuffle_hash")
-    base = urls.select(F.col(url_col).alias("url")).distinct()
+    base = urls.select(F.col(url_col).alias("url"))
+    if not assume_unique:
+        base = base.distinct()
     terminal0 = (
         base.join(srcs, base["url"] == srcs["_src"], "left_anti")
         .select(
@@ -149,6 +158,55 @@ def resolve_redirects(
         .otherwise(F.lit(STATUS_OK)).alias("status"),
     )
     return terminal0.unionByName(resolved)
+
+
+def resolve_redirect_sources(
+    edges: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    max_requests: int = GO_MAX_REQUESTS,
+) -> DataFrame:
+    """Resolve ONLY the redirect-source set: ``(url, final_url, hops,
+    status)`` for every distinct ``src`` in the hop table.
+
+    This is the loop-invariant half of in-crawl redirect handling: the
+    mapping depends only on the static edge table, never on the frontier,
+    so an iterative crawl materializes it ONCE and each round applies a
+    single hash join against it (:func:`apply_redirect_mapping`) — instead
+    of re-deriving the jump tables (three self-joins) and re-distincting
+    the full frontier every round. The mapping is bounded by the redirect
+    table (~10^8 rows at web scale), orders of magnitude smaller than a
+    10^10-URL frontier. URLs absent from the mapping are not redirect
+    sources: they are final at hop 0 by definition.
+    """
+    e1 = normalize_redirect_edges(edges, src, dst)
+    return resolve_redirects(
+        e1.select(F.col("_src").alias("url")),
+        edges, "url", src, dst, max_requests,
+        assume_unique=True,  # groupBy keys are unique by construction
+    )
+
+
+def apply_redirect_mapping(
+    frontier: DataFrame, mapping: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-round redirect application: ONE join of the frontier against a
+    pre-materialized ``(url, final_url, status)`` source mapping
+    (:func:`resolve_redirect_sources`). The round lineage contains no
+    distinct-aggregate on the frontier and no jump-table joins — asserted
+    in PLANS.md (``redirect_round_join``).
+
+    Adds ``_final`` / ``_rstatus`` columns; rows whose URL is not a
+    redirect source get NULLs (terminal at hop 0). The mapping side is
+    shuffle-hash hinted: the frontier is the big side, a sort would be
+    wasted, and AQE still upgrades to broadcast when the mapping is tiny.
+    """
+    m = mapping.select(
+        F.col("url").alias(url_col),
+        F.col("final_url").alias("_final"),
+        F.col("status").alias("_rstatus"),
+    ).hint("shuffle_hash")
+    return frontier.join(m, url_col, "left")
 
 
 def dedup_by_final_url(

@@ -468,17 +468,26 @@ def run_crawl(
     ``skipped_trap`` (staying seen, like robots blocks).
 
     ``redirects`` [EXTENSION] is an optional ``(src_url, dst_url)`` hop
-    table: each round's frontier pre-resolves through it
-    (:func:`go_crawler_spark.operators.redirects.resolve_redirects`, the
-    Go client's 10-request budget) BEFORE politeness and the fetch —
-    budget-stopped chains are blocked as ``skipped_redirect`` (staying
-    seen, Go's client would error after burning its budget), and resolved
-    rows fetch the FINAL target's content while keeping their original
-    URL identity (reference parity: the Go client returns only the body,
-    pkg/httpclient/client.go:48-71 — the response URL is discarded, so
-    seen/dedup/children all key on the enqueued URL). Politeness re-keys
-    on the resolved host — the request lands there, so slots must bound
-    the target, not the alias.
+    table. The loop-invariant source mapping is resolved ONCE before the
+    loop (:func:`go_crawler_spark.operators.redirects.
+    resolve_redirect_sources`, the Go client's 10-request budget),
+    checkpointed as ``redirect_map`` (restored on resume), and each
+    round's frontier applies a single hash join against it BEFORE
+    politeness and the fetch — budget-stopped chains are blocked as
+    ``skipped_redirect`` (staying seen, Go's client would error after
+    burning its budget), and resolved rows fetch the FINAL target's
+    content while keeping their original URL identity (reference parity:
+    the Go client returns only the body, pkg/httpclient/client.go:48-71 —
+    the response URL is discarded, so seen/dedup/children all key on the
+    enqueued URL). Politeness and the per-request robots re-check key on
+    the resolved TARGET host (the request lands there) via a
+    politeness-only column; the frontier's own ``host`` stays the ALIAS
+    host so politeness-deferred rows re-enter the next round's
+    pre-redirect gates with (alias host, alias path) intact. Robots is
+    enforced on the alias and the final target; intermediate hops of a
+    chain are NOT individually checked (documented approximation — each
+    intermediate is itself a mapping key, so full per-hop enforcement is
+    a pre-filter of the edge table against robots).
 
     ``trap_refresh_rounds=R`` (0 = off) closes the trap loop IN-CRAWL: every
     R rounds the fetched-so-far log is re-censused
@@ -514,6 +523,30 @@ def run_crawl(
 
     politeness_mode = (cfg.host_slots_per_round > 0 or robots is not None
                        or host_slots is not None)
+
+    # [EXTENSION] the redirect mapping is loop-invariant: resolve the
+    # redirect-SOURCE set once (operators/redirects.py::
+    # resolve_redirect_sources — bounded by the redirect table, ~10^8 rows
+    # at web scale vs a 10^10 frontier), checkpoint it, and let each round
+    # apply ONE hash join against it. Resolving inside the loop re-derived
+    # the jump tables (3 self-joins) and re-distincted the entire frontier
+    # every round. A persisted mapping also restores for free on resume.
+    redirect_map = None
+    if redirects is not None:
+        from go_crawler_spark.operators.redirects import (
+            resolve_redirect_sources,
+        )
+
+        t = time.perf_counter()
+        if not io.exists("redirect_map"):
+            io.write(
+                resolve_redirect_sources(redirects).select(
+                    "url", "final_url", "status"
+                ),
+                "redirect_map", cfg.retry,
+            )
+        redirect_map = io.read("redirect_map")
+        _tick("redirect_map", t)
 
     # trap gate state: external templates (normalized to a template list)
     # ∪ the latest in-loop census; a persisted trap_census (resume, or a
@@ -659,43 +692,62 @@ def run_crawl(
             allowed, rblocked = apply_robots(allowed, robots)
             blocked_parts.append(_blocked_log(rblocked, "skipped_robots"))
         if redirects is not None:
-            # [EXTENSION] pre-fetch redirect resolution: pointer-doubling
-            # walk over the (src,dst) hop table (operators/redirects.py);
-            # the mapping join carries URL strings only
+            # [EXTENSION] pre-fetch redirect resolution: ONE join against
+            # the pre-materialized source mapping (redirect_map above) —
+            # the round lineage carries no distinct, no edge normalization
+            # and no jump-table joins (plan-asserted in PLANS.md). Rows
+            # whose URL is not a redirect source pass with NULL _final.
             from go_crawler_spark.operators.redirects import (
                 STATUS_STOPPED,
-                resolve_redirects,
+                apply_redirect_mapping,
             )
 
-            mapping = resolve_redirects(allowed, redirects).select(
-                "url",
-                F.col("final_url").alias("_final"),
-                F.col("status").alias("_rstatus"),
-            )
-            allowed = allowed.join(mapping, "url", "left")
+            allowed = apply_redirect_mapping(allowed, redirect_map)
             rstop = F.col("_rstatus") == F.lit(STATUS_STOPPED)
             blocked_parts.append(_blocked_log(
                 allowed.filter(rstop).drop("_final", "_rstatus"),
                 "skipped_redirect",
             ))
+            # The request lands on the RESOLVED host, so politeness slots
+            # and the per-request robots re-check must bound the TARGET —
+            # but that host lives in a politeness-only column (_fetch_host):
+            # the frontier's own `host` stays the ALIAS host, because
+            # deferred rows roll into the NEXT round's pre-redirect
+            # robots/trap gates, which pair rules with the alias URL's
+            # path (a target-host/alias-path mix wrongly blocked aliases
+            # whose path the target host disallows). The when() sits
+            # INSIDE the UDF argument so unredirected rows ship NULL
+            # across Arrow (same trick as the parse UDF below).
+            redirected = F.col("_final").isNotNull()
             allowed = (
                 allowed.filter(F.col("_rstatus").isNull() | ~rstop)
                 .withColumn("_fetch_url", F.coalesce("_final", "url"))
-                # the request lands on the resolved host: politeness slots
-                # must bound the target, not the alias
-                .withColumn("host", registrable_host_udf("_fetch_url"))
+                .withColumn(
+                    "_fetch_host",
+                    F.when(
+                        redirected,
+                        registrable_host_udf(
+                            F.when(redirected, F.col("_final"))
+                        ),
+                    ).otherwise(F.col("host")),
+                )
                 .drop("_final", "_rstatus")
             )
             if robots is not None:
                 # robots applies per-REQUEST: a redirect into a disallowed
                 # path is blocked even when the alias itself is allowed
                 # (re-checking unredirected rows is idempotent — they
-                # already passed above)
+                # already passed above). Documented approximation: only
+                # the alias and the FINAL target are checked; intermediate
+                # hops of a chain are not (each intermediate is itself a
+                # mapping key, so a policy layer wanting full per-hop
+                # enforcement can pre-filter the edge table against robots
+                # before passing it in).
                 chk = (
                     allowed.withColumnRenamed("url", "_orig_url")
                     .withColumnRenamed("_fetch_url", "url")
                 )
-                ok2, rb2 = apply_robots(chk, robots)
+                ok2, rb2 = apply_robots(chk, robots, host_col="_fetch_host")
 
                 def _restore(d: DataFrame) -> DataFrame:
                     return (
@@ -716,11 +768,29 @@ def run_crawl(
             io.write(blk, f"blocked_{rnd}")
         t = _tick("robots", t)
 
-        # politeness split [EXTENSION]
+        # politeness split [EXTENSION] — under redirects the split keys on
+        # the TARGET host (the request lands there), swapped in for the
+        # duration of the split only
+        if redirects is not None:
+            allowed = (
+                allowed.withColumnRenamed("host", "_alias_host")
+                .withColumnRenamed("_fetch_host", "host")
+            )
         fetch_now, deferred = assign_fetch_slots(
             allowed, cfg.host_slots_per_round, cfg.politeness_salts,
             host_slots=host_slots,  # e.g. robots Crawl-delay -> slots/round
         )
+        if redirects is not None:
+            # deferred rows roll over AS ALIASES: restore the alias host so
+            # the next round's pre-redirect robots/trap gates see
+            # (alias host, alias path); the resolution re-applies there
+            # (one cheap mapping join). fetch_now keeps the target host —
+            # the fetched log records the host the request actually hit.
+            deferred = (
+                deferred.withColumn("host", F.col("_alias_host"))
+                .drop("_alias_host", "_fetch_url")
+            )
+            fetch_now = fetch_now.drop("_alias_host")
 
         # J1 — fetch + size gate + ONE fused parse producing children AND
         # the rewritten page bytes (P1-P6 + T1 in a single Arrow pass — the

@@ -126,6 +126,57 @@ def test_no_redirects_default_identical(spark, corpus, tmp_path_factory):
     assert rows[f"{H}/direct.html"] == "ok"
 
 
+def test_deferred_alias_keeps_alias_host(spark, tmp_path_factory):
+    """A politeness-DEFERRED alias must re-enter the next round with its
+    ALIAS host, not the redirect target's: the pre-redirect robots gate
+    pairs a URL's path with its `host` column, and a carried-over target
+    host wrongly matches the target's rules against the alias's path
+    (only triggers with redirects + robots + host slots together).
+
+    a.example.com/alias.html -> b.example.com/y.html, with b.example.com
+    disallowing /alias (the ALIAS's path — allowed on a.example.com, and
+    the target path /y.html is allowed on b). Both hub children live on
+    the alias host (the parser's same-host filter would drop cross-host
+    links), but BOTH redirect to b — so one slot per TARGET host forces
+    the alias behind first.html for a round; on re-entry it must still
+    fetch."""
+    A, B = "https://a.example.com", "https://b.example.com"
+    rows = {
+        f"{A}/hub.html": _page(
+            [f"{A}/first.html", f"{A}/alias.html"], "hub"),
+        f"{B}/z.html": _page([], "z body"),
+        f"{B}/y.html": _page([], "y body"),
+    }
+    corpus = spark.createDataFrame(
+        [(u, EPOCH, b, "", "en") for u, b in sorted(rows.items())],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    edges = spark.createDataFrame(
+        [(f"{A}/first.html", f"{B}/z.html"),
+         (f"{A}/alias.html", f"{B}/y.html")],
+        "src_url string, dst_url string",
+    )
+    robots = spark.createDataFrame(
+        [("b.example.com", "/alias")], "host string, disallow_prefix string"
+    )
+    cfg = CrawlConfig(max_count=50, host_slots_per_round=1)
+    res = run_crawl(
+        spark, corpus, [f"{A}/hub.html"], cfg,
+        workdir=str(tmp_path_factory.mktemp("crawl_deferred_alias")),
+        redirects=edges, robots=robots,
+    )
+    status = {r["url"]: r["status"] for r in res.fetched.collect()}
+    # both aliases fetch; the second is merely delayed, never blocked
+    assert status[f"{A}/first.html"] == "ok"
+    assert status[f"{A}/alias.html"] == "ok"
+    assert "skipped_robots" not in status.values()
+    pages = {r["url"]: r for r in res.pages_out.collect()}
+    assert b"y body" in bytes(pages[f"{A}/alias.html"]["html"])
+    # and the split really deferred the alias one round behind first.html
+    rounds = {r["url"]: r["round"] for r in res.fetched.collect()}
+    assert rounds[f"{A}/alias.html"] == rounds[f"{A}/first.html"] + 1
+
+
 def test_robots_applies_to_redirect_target(spark, corpus, redirect_edges,
                                            tmp_path_factory):
     """robots is per-REQUEST: an allowed alias redirecting into a

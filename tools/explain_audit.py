@@ -309,6 +309,39 @@ def main() -> None:
          "SortMergeJoin": False},
     )
 
+    # per-round in-crawl redirect application: the round lineage joins the
+    # frontier ONCE against the pre-materialized source mapping — no
+    # distinct-aggregate on the frontier, no jump-table joins (the mapping
+    # is loop-invariant, resolved once before the loop), no Python eval
+    from go_crawler_spark.operators.redirects import (
+        apply_redirect_mapping,
+        resolve_redirect_sources,
+    )
+
+    import tempfile
+
+    r_map_path = os.path.join(
+        tempfile.mkdtemp(prefix="plans_"), "redirect_map.parquet")
+    resolve_redirect_sources(r_edges).select(
+        "url", "final_url", "status"
+    ).write.mode("overwrite").parquet(r_map_path)
+    r_frontier = r_edges.selectExpr("src_url AS url").union(
+        r_edges.selectExpr("dst_url AS url"))
+    round_joined = apply_redirect_mapping(
+        r_frontier, spark.read.parquet(r_map_path))
+    audit(
+        "redirect_round_join (frontier ⋈ materialized mapping, once)",
+        round_joined,
+        {"BatchEvalPython": False, "ArrowEvalPython": False,
+         "SortMergeJoin": False, "HashAggregate": False},
+    )
+    audit_custom(
+        "redirect_round_join (no jump tables in the round lineage)",
+        round_joined,
+        "exactly one join node",
+        lambda p: p.count("HashJoin") == 1,
+    )
+
     # canonical extraction: regexp/concat inside whole-stage codegen; page
     # bytes never cross to Python and never enter an exchange (map-only)
     audit(
