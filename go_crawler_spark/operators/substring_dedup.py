@@ -128,8 +128,13 @@ def excise_duplicate_spans(
     spans pass through byte-identical tokens-wise; output is
     ``(doc_id, clean_text, n_removed_tokens)``.
 
-    JVM-only: spans collect per doc (bounded: spans are merged maximal
-    intervals), tokens filter by index via ``exists`` over that array.
+    JVM-only and LINEAR per document: spans collect per doc (bounded:
+    they are merged maximal intervals) and, because they are disjoint,
+    the kept tokens are exactly the inter-span gaps — build the gap list
+    ``[(0,s1), (e1,s2), …, (ek,n)]`` over the sorted spans and take one
+    ``slice`` per gap, O(tokens + spans). A per-token ``exists`` over the
+    span array would be O(tokens × spans): a pathological doc alternating
+    duplicated/unique k-grams has ~tokens/2 spans → quadratic.
     """
     per_doc = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
@@ -138,9 +143,25 @@ def excise_duplicate_spans(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
     )
     joined = toks.join(per_doc, toks["doc_id"] == per_doc["_sid"], "left")
-    kept = F.expr(
-        "filter(_toks, (t, i) -> _spans IS NULL OR NOT exists(_spans,"
-        " sp -> i >= sp.span_start AND i < sp.span_end))"
+    sp_sorted = F.array_sort(F.col("_spans"))  # struct sort: span_start first
+    gap_starts = F.concat(
+        F.array(F.lit(0)),
+        F.transform(sp_sorted, lambda sp: sp["span_end"]),
+    )
+    gap_ends = F.concat(
+        F.transform(sp_sorted, lambda sp: sp["span_start"]),
+        F.array(F.size("_toks")),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.flatten(
+            F.zip_with(
+                gap_starts,
+                gap_ends,
+                lambda s, e: F.slice(
+                    F.col("_toks"), s + F.lit(1), F.greatest(e - s, F.lit(0))
+                ),
+            )
+        )
     )
     return joined.select(
         "doc_id",

@@ -106,6 +106,45 @@ def test_excision(spark, docs_df):
         assert "rights reserved" not in clean[i]["clean_text"]
 
 
+def test_excision_pathological_alternating_spans(spark):
+    """The linear gap-slice excision must stay correct on the worst case
+    for a per-token exists() mask: a doc alternating duplicated and unique
+    k-grams, i.e. ~tokens/2 disjoint spans. Oracle = a pure-Python token
+    mask over the same spans."""
+    # "d0 d0 d0 d0 u<i>" blocks: each 4-token run of "dup dup dup dup" is
+    # duplicated across blocks (and in doc 99); the u<i> separators are
+    # unique, so every block yields its own maximal span
+    blocks = [f"dup dup dup dup u{i}" for i in range(50)]
+    pathological = " ".join(blocks)
+    docs = spark.createDataFrame(
+        [(1, pathological), (99, "dup dup dup dup tail of the second doc")],
+        "doc_id int, text string",
+    )
+    spans = duplicate_ngram_spans(docs, k=K)
+    span_rows = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spans.collect()
+    ]
+    assert sum(1 for d, *_ in span_rows if d == 1) == 50  # one span per block
+    clean = {r["doc_id"]: r for r in
+             excise_duplicate_spans(docs, spans).collect()}
+
+    def py_excise(text: str, doc_spans: list[tuple]) -> tuple[str, int]:
+        toks = re.split(r"\s+", text.strip().lower())
+        drop = set()
+        for s, e in doc_spans:
+            drop |= set(range(s, e))
+        kept = [t for i, t in enumerate(toks) if i not in drop]
+        return " ".join(kept), len(toks) - len(kept)
+
+    for doc_id, text in [(1, pathological),
+                         (99, "dup dup dup dup tail of the second doc")]:
+        want_text, want_n = py_excise(
+            text, [(s, e) for d, s, e in span_rows if d == doc_id])
+        assert clean[doc_id]["clean_text"] == want_text
+        assert clean[doc_id]["n_removed_tokens"] == want_n
+
+
 def test_plan_is_jvm_only(spark, docs_df):
     plan = duplicate_ngram_spans(
         docs_df, k=K
