@@ -2822,10 +2822,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT url,
                     regexp_replace(coalesce(
                         nullif(regexp_extract(html,
-                            '<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']*)["'']',
+                            '(?i)<link[^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])[^>]*href=["'']([^"'']*)["'']',
                             1), ''),
                         nullif(regexp_extract(html,
-                            '<link[^>]*href=["'']([^"'']*)["''][^>]*rel=["'']canonical["'']',
+                            '(?i)<link[^>]*href=["'']([^"'']*)["''][^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])',
+                            1), ''),
+                        nullif(regexp_extract(html,
+                            '(?i)<link[^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])[^>]*href=([^"''\\s>]+)',
+                            1), ''),
+                        nullif(regexp_extract(html,
+                            '(?i)<link[^>]*href=([^"''\\s>]+)[^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])',
                             1), ''),
                         ''), '#.*$', '') AS href,
                     regexp_extract(url, '^(https?://[^/]+)', 1) AS origin

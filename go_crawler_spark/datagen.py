@@ -368,16 +368,21 @@ def canonical_page_url(i: int) -> str:
 
 def canonical_corpus_rows(n: int) -> List[tuple]:
     """Deterministic (url, html) corpus for canonical-link consolidation.
-    Six page variants (i % 6): no-canonical, absolute rel-first,
+    Eight page variants (i % 8): no-canonical, absolute rel-first,
     root-relative single-quoted, root-relative with fragment,
-    href-before-rel absolute, and self-canonical; a stylesheet <link> decoy
-    rides every page so extraction must key on rel=canonical, not <link>."""
+    href-before-rel absolute, self-canonical, UPPERCASE-unquoted-rel
+    absolute (<LINK REL=CANONICAL ...> — attribute names/values are
+    case-insensitive and may be unquoted in real HTML), and fully
+    unquoted root-relative; a stylesheet <link> decoy — including an
+    unquoted-rel decoy — rides every page so extraction must key on
+    rel=canonical, not <link>."""
     rows: List[tuple] = []
     for i in range(n):
         url = canonical_page_url(i)
-        g = i - (i % 6)  # group leader this page consolidates onto
-        decoy = '<link rel="stylesheet" href="/css/main.css">'
-        v = i % 6
+        g = i - (i % 8)  # group leader this page consolidates onto
+        decoy = ('<link rel="stylesheet" href="/css/main.css">'
+                 '<link rel=preload href=/js/app.js>')
+        v = i % 8
         if v == 0:
             head = decoy
         elif v == 1:
@@ -388,8 +393,12 @@ def canonical_corpus_rows(n: int) -> List[tuple]:
             head = f'{decoy}<link rel="canonical" href="/doc/{g}.html#sect-2">'
         elif v == 4:
             head = f'{decoy}<link href="{canonical_page_url(g)}" rel="canonical">'
-        else:
+        elif v == 5:
             head = f'{decoy}<link rel="canonical" href="{url}">'
+        elif v == 6:
+            head = f'{decoy}<LINK REL=CANONICAL HREF="{canonical_page_url(g)}">'
+        else:
+            head = f"{decoy}<link rel=canonical href=/doc/{g}.html>"
         rows.append(
             (url, f"<html><head>{head}</head><body>doc {i}</body></html>")
         )

@@ -33,16 +33,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 # one tag, either attribute order; [^>]* cannot cross the tag close, so a
-# <link rel="stylesheet"> decoy can never satisfy rel=canonical
-_REL_FIRST = """<link[^>]*rel=["']canonical["'][^>]*href=["']([^"']*)["']"""
-_HREF_FIRST = """<link[^>]*href=["']([^"']*)["'][^>]*rel=["']canonical["']"""
+# <link rel="stylesheet"> decoy can never satisfy rel=canonical.
+# HTML attribute names/values are case-insensitive and may be unquoted
+# (<LINK REL=CANONICAL ...> is valid markup the reference's tokenizer-based
+# parser accepts), hence (?i) and the optional-quoting alternatives. An
+# UNQUOTED rel value needs its closing delimiter consumed so
+# rel=canonical-ish cannot match — a consuming class, not a lookahead,
+# because the DuckDB oracle's RE2 engine has no lookahead.
+_REL = """rel=(?:["']canonical["']|canonical[\\s/>])"""
+_HREF_Q = """href=["']([^"']*)["']"""
+_HREF_U = """href=([^"'\\s>]+)"""
+_REL_FIRST_Q = f"(?i)<link[^>]*{_REL}[^>]*{_HREF_Q}"
+_HREF_FIRST_Q = f"(?i)<link[^>]*{_HREF_Q}[^>]*{_REL}"
+_REL_FIRST_U = f"(?i)<link[^>]*{_REL}[^>]*{_HREF_U}"
+_HREF_FIRST_U = f"(?i)<link[^>]*{_HREF_U}[^>]*{_REL}"
 
 
 def canonical_href_expr(html: Column) -> Column:
     """Raw canonical href ('' when the page declares none). JVM-only."""
     return F.coalesce(
-        F.nullif(F.regexp_extract(html, _REL_FIRST, 1), F.lit("")),
-        F.nullif(F.regexp_extract(html, _HREF_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _REL_FIRST_Q, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _HREF_FIRST_Q, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _REL_FIRST_U, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _HREF_FIRST_U, 1), F.lit("")),
         F.lit(""),
     )
 
