@@ -776,6 +776,220 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("sum_quality"),
         )
 
+    def corpus_release(spark, sf):
+        """End-to-end LLM corpus release [EXTENSION — the full composition
+        a 100-TB webtext user runs]: crawl → canonical consolidation →
+        redirect alias dedup → exact dedup → MinHash components +
+        keep-best → ExactSubstr excision → quality/lang gates → 5-gram
+        decontamination → hash split → sequence packing. Near-dup removal
+        runs BEFORE ExactSubstr (Lee et al. 2022's own order: NearDup then
+        ExactSubstr — the reverse would excise whole near-dup docs into
+        stubs). Every stage is an already-oracled operator; this query
+        proves the column contracts and dedup-order seams compose.
+
+        The release universe is deterministic: each crawled page yields 8
+        chunk-docs over the documents table, with planted per-chunk cases
+        making every stage's drop observable — c1 declares a canonical to
+        c0 (odd pages use the UPPERCASE-unquoted form), c3→c2→c0 is a
+        redirect chain, c4 is an exact dup of c0, c5 a J≈0.98 near dup,
+        c6 appends shared boilerplate (ExactSubstr excises exactly it),
+        c7 appends a benchmark 5-gram (decontamination drops it).
+
+        Oracle: full LIVE SQL — the crawl stage reads the independent
+        simulator fixture; every other stage re-derives in DuckDB
+        (recursive-CTE redirect walk, min-label component propagation,
+        exact all-pairs Jaccard for the near-dup stage — planted pairs sit
+        at J≈0.98 where 64-hash/16-band LSH recall is complete for this
+        fixed universe, verified at all committed scales)."""
+        from go_crawler_spark.config import CrawlConfig
+        from go_crawler_spark.datagen import default_seeds, generate_pages_df
+        from go_crawler_spark.functions.text import (
+            normalize_for_fingerprint,
+            tokens,
+        )
+        from go_crawler_spark.operators.canonical import (
+            consolidate_canonicals,
+        )
+        from go_crawler_spark.operators.corpus_prep import (
+            decontaminate,
+            hash_split,
+        )
+        from go_crawler_spark.operators.dedup_corpus import (
+            connected_components,
+            exact_dedup,
+        )
+        from go_crawler_spark.operators.redirects import dedup_by_final_url
+        from go_crawler_spark.operators.substring_dedup import (
+            duplicate_ngram_spans,
+            excise_duplicate_spans,
+        )
+        from go_crawler_spark.plans.crawl import run_crawl
+
+        # stage 0 — crawl (flagship config; oracle = simulator fixture)
+        pages = generate_pages_df(spark, _crawl_scale(sf), seed=42)
+        cfg = CrawlConfig(max_count=30, host_slots_per_round=4)
+        sched = run_crawl(spark, pages, default_seeds(), cfg).schedule
+        crawled = (
+            sched.filter(F.col("kind") == "page")
+            .select("url", "seq")
+            .withColumn(
+                "r", F.row_number().over(Window.orderBy("seq")) - F.lit(1)
+            )
+        )
+        docs = _t(spark, sf, "documents")
+
+        # stage 0.5 — release universe: 8 chunk-docs per crawled page.
+        # Bounded by construction (≤ 8·(max_count+seeds) rows), so it is
+        # collected and re-created locally: the ten downstream stages get
+        # a flat lineage instead of multiplying the crawl DAG.
+        boiler = ("all rights reserved contact legal example com for "
+                  "terms and conditions apply")
+        contam = docs.filter(F.col("doc_id") == 50).select(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    tokens(normalize_for_fingerprint(F.col("text"))), 1, 5
+                ),
+            ).alias("_ctam")
+        )
+        rel = (
+            crawled.select(
+                F.col("url").alias("page_url"), "r",
+                F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+            )
+            .withColumn("doc_id", (F.col("r") * 8 + F.col("j")).cast("long"))
+            .withColumn(
+                "rel_url",
+                F.concat(F.col("page_url"), F.lit("?c="),
+                         F.col("j").cast("string")),
+            )
+            .withColumn(
+                "_src_doc",
+                F.when(F.col("j").isin(4, 5), F.col("r") * 8)
+                .otherwise(F.col("doc_id")).cast("long"),
+            )
+            .join(
+                docs.select(F.col("doc_id").alias("_bid"),
+                            F.col("text").alias("_btext")),
+                F.col("_src_doc") == F.col("_bid"),
+            )
+            .crossJoin(F.broadcast(contam))
+            .select(
+                "doc_id", "rel_url", "page_url",
+                F.when(
+                    F.col("j") == 5,
+                    F.concat("_btext", F.lit(" reld5x"),
+                             F.col("r").cast("string")),
+                )
+                .when(F.col("j") == 6, F.concat("_btext", F.lit(" " + boiler)))
+                .when(F.col("j") == 7,
+                      F.concat("_btext", F.lit(" "), F.col("_ctam")))
+                .otherwise(F.col("_btext")).alias("text"),
+                F.concat(
+                    F.lit("<html><head>"),
+                    F.when(
+                        (F.col("j") == 1) & (F.col("r") % 2 == 1),
+                        F.concat(F.lit('<LINK REL=CANONICAL HREF="'),
+                                 F.col("page_url"), F.lit('?c=0">')),
+                    ).when(
+                        F.col("j") == 1,
+                        F.concat(F.lit('<link rel="canonical" href="'),
+                                 F.col("page_url"), F.lit('?c=0">')),
+                    ).otherwise(F.lit("")),
+                    F.lit("</head><body></body></html>"),
+                ).alias("html"),
+            )
+        )
+        # Every inter-stage table is bounded (≤ 240 rows by construction),
+        # so stages consumed by multiple downstream branches are collected
+        # and re-created locally — without this each branch re-executes the
+        # whole upstream composition (crawl included) once per action.
+        def _localize(df):
+            return spark.createDataFrame(df.collect(), df.schema)
+
+        rel = _localize(rel)
+
+        # stage 1 — canonical consolidation: keep group representatives
+        reps = consolidate_canonicals(
+            rel.select(F.col("rel_url").alias("url"), "html")
+        ).select(F.col("representative").alias("rel_url"))
+        s1 = rel.join(reps, "rel_url", "left_semi")
+
+        # stage 2 — redirect alias dedup over the synthetic c3→c2→c0 chains
+        pages_local = rel.select("page_url").distinct()
+        edges = pages_local.select(
+            F.concat("page_url", F.lit("?c=2")).alias("src_url"),
+            F.concat("page_url", F.lit("?c=0")).alias("dst_url"),
+        ).unionByName(pages_local.select(
+            F.concat("page_url", F.lit("?c=3")).alias("src_url"),
+            F.concat("page_url", F.lit("?c=2")).alias("dst_url"),
+        ))
+        keep2 = dedup_by_final_url(
+            s1.select(F.col("rel_url").alias("url")), edges
+        ).select(F.col("first_alias").alias("rel_url"))
+        s2 = _localize(s1.join(keep2, "rel_url", "left_semi"))
+
+        # stage 3 — exact dedup (keep min doc_id per content fingerprint)
+        s3 = _localize(s2.join(
+            exact_dedup(s2.select("doc_id", "text"), "text", "doc_id")
+            .select("doc_id"),
+            "doc_id", "left_semi",
+        ))
+
+        # stage 4 — MinHash near-dup components + keep-best quality
+        pairs = minhash_near_dups(s3, "text", "doc_id", threshold=0.7)
+        comps = connected_components(pairs)
+        q = s3.select(
+            "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("_q")
+        )
+        jn = q.join(comps, q["doc_id"] == comps["node"], "left").select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("_comp"),
+            "_q",
+        )
+        w = Window.partitionBy("_comp").orderBy(F.desc("_q"), F.asc("doc_id"))
+        keep4 = (
+            jn.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("doc_id")
+        )
+        s4 = _localize(s3.join(keep4, "doc_id", "left_semi"))
+
+        # stage 5 — ExactSubstr spans + excision (k=8 over the survivors)
+        spans = duplicate_ngram_spans(s4, "text", "doc_id", k=8)
+        s5 = s4.join(
+            excise_duplicate_spans(s4, spans, "text", "doc_id"), "doc_id"
+        ).select("doc_id", "rel_url", F.col("clean_text").alias("text"))
+
+        # stage 6 — quality/lang gates on the cleaned text
+        gated = _localize(s5.select(
+            "doc_id", "rel_url", "text",
+            T.lang_id(F.col("text")).alias("lang"),
+            F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+            T.word_token_count(F.col("text")).alias("n_tokens"),
+        ).filter((F.col("quality") >= 0.7) & (F.col("lang") != "und")))
+
+        # stage 7 — decontamination vs the benchmark slice
+        bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+        decon = decontaminate(gated, bench, ngram=5)
+
+        # stage 8 — split + pack (the per-doc view of pack_sequences: the
+        # same cumulative-window bin rule, partitioned by split)
+        w2 = Window.partitionBy("split").orderBy("doc_id")
+        return (
+            hash_split(decon)
+            .withColumn(
+                "bin_id",
+                F.floor(
+                    (F.sum("n_tokens").over(w2) - F.col("n_tokens")) / 256
+                ).cast("long"),
+            )
+            .select(
+                "doc_id", F.col("rel_url").alias("url"), "split", "lang",
+                "quality", "n_tokens", "bin_id",
+            )
+            .orderBy("doc_id")
+        )
+
     def ngram_jaccard_pairs(spark, sf):
         # exact token-3-gram Jaccard for all pairs among doc_id < 30
         docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 30)
@@ -1639,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "neardup_keep_best": neardup_keep_best,
         "corpus_prepare_v2": corpus_prepare_v2,
+        "corpus_release": corpus_release,
         "fingerprints": fingerprints,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -2281,6 +2496,251 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, quality, n_tokens, n_atoms FROM enr
             WHERE quality >= 0.7 AND lang <> 'und'
+        """,
+        # corpus_release: the full live-SQL re-derivation of the release
+        # composition. Stage inputs mirror queries().corpus_release exactly:
+        # the crawl stage reads the independent simulator fixture; the
+        # redirect walk is a hop-capped recursive CTE; near-dup pairs are
+        # exact all-pairs Jaccard (LSH recall complete for this fixed
+        # universe); components are min-label propagation to fixpoint.
+        "corpus_release": f"""
+            WITH RECURSIVE crawled AS (
+                SELECT url, seq, row_number() OVER (ORDER BY seq) - 1 AS r
+                FROM read_parquet('{fix}/crawl_flagship.parquet')
+                WHERE scale = {scale_key} AND kind = 'page'
+            ), ctam AS (
+                SELECT array_to_string(({toks_norm})[1:5], ' ') AS c
+                FROM documents WHERE doc_id = 50
+            ), rel AS (
+                SELECT CAST(c.r * 8 + j.j AS BIGINT) AS doc_id,
+                       c.url || '?c=' || CAST(j.j AS VARCHAR) AS rel_url,
+                       CASE WHEN j.j = 5
+                                THEN d.text || ' reld5x' || CAST(c.r AS VARCHAR)
+                            WHEN j.j = 6
+                                THEN d.text || ' all rights reserved contact'
+                                     || ' legal example com for terms and'
+                                     || ' conditions apply'
+                            WHEN j.j = 7
+                                THEN d.text || ' ' || (SELECT c FROM ctam)
+                            ELSE d.text END AS text,
+                       '<html><head>' ||
+                       CASE WHEN j.j = 1 AND c.r % 2 = 1
+                                THEN '<LINK REL=CANONICAL HREF="'
+                                     || c.url || '?c=0">'
+                            WHEN j.j = 1
+                                THEN '<link rel="canonical" href="'
+                                     || c.url || '?c=0">'
+                            ELSE '' END
+                       || '</head><body></body></html>' AS html
+                FROM crawled c
+                CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+                JOIN documents d
+                  ON d.doc_id = CASE WHEN j.j IN (4, 5) THEN c.r * 8
+                                     ELSE c.r * 8 + j.j END
+            ), canon AS (
+                SELECT rel_url, CASE
+                    WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                        THEN href
+                    WHEN href LIKE '/%' THEN origin || href
+                    ELSE rel_url END AS canonical_url
+                FROM (
+                  SELECT rel_url,
+                      regexp_replace(coalesce(
+                          nullif(regexp_extract(html,
+                              '(?i)<link[^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])[^>]*href=["'']([^"'']*)["'']',
+                              1), ''),
+                          nullif(regexp_extract(html,
+                              '(?i)<link[^>]*href=["'']([^"'']*)["''][^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])',
+                              1), ''),
+                          nullif(regexp_extract(html,
+                              '(?i)<link[^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])[^>]*href=([^"''\\s>]+)',
+                              1), ''),
+                          nullif(regexp_extract(html,
+                              '(?i)<link[^>]*href=([^"''\\s>]+)[^>]*rel=(?:["'']canonical["'']|canonical[\\s/>])',
+                              1), ''),
+                          ''), '#.*$', '') AS href,
+                      regexp_extract(rel_url, '^(https?://[^/]+)', 1)
+                        AS origin
+                  FROM rel)
+            ), reps AS (
+                SELECT min(rel_url) AS rel_url FROM canon
+                GROUP BY canonical_url
+            ), s1 AS (
+                SELECT rel.* FROM rel SEMI JOIN reps USING (rel_url)
+            ), e1 AS (
+                SELECT src, min(dst) AS dst FROM (
+                    SELECT url || '?c=2' AS src, url || '?c=0' AS dst
+                    FROM crawled
+                    UNION ALL
+                    SELECT url || '?c=3', url || '?c=2' FROM crawled)
+                GROUP BY src
+            ), walk(u, cur, hops) AS (
+                SELECT rel_url, rel_url, 0 FROM s1
+                UNION ALL
+                SELECT w.u, e1.dst, w.hops + 1
+                FROM walk w JOIN e1 ON w.cur = e1.src
+                WHERE w.hops < 10
+            ), fin AS (
+                SELECT u, max_by(cur, hops) AS final_url FROM walk GROUP BY u
+            ), keep2 AS (
+                SELECT min(u) AS rel_url FROM fin GROUP BY final_url
+            ), s2 AS (
+                SELECT s1.* FROM s1 SEMI JOIN keep2 USING (rel_url)
+            ), keep3 AS (
+                SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5({norm_text})
+            ), s3 AS (
+                SELECT s2.* FROM s2 SEMI JOIN keep3 USING (doc_id)
+            ), sh AS (
+                SELECT doc_id, {shingles} AS s FROM s3
+            ), prs AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0
+                           THEN 0.0
+                      ELSE len(list_intersect(a.s, b.s)) * 1.0
+                           / len(list_distinct(list_concat(a.s, b.s))) END
+                      >= 0.7
+            ), und AS (
+                SELECT ia AS a, ib AS b FROM prs
+                UNION ALL SELECT ib, ia FROM prs
+            ), lab(node, l) AS (
+                SELECT DISTINCT a, a FROM und
+                UNION
+                SELECT u.a, lab.l FROM und u JOIN lab ON u.b = lab.node
+            ), comp AS (
+                SELECT node, min(l) AS component FROM lab GROUP BY node
+            ), q3 AS (
+                SELECT doc_id, round(
+                  0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                              WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+                + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                              'g')) * 1.0 / len(text) END)
+                + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                         ELSE {en} * 1.0 / ntok END), 6) AS q
+                FROM (
+                  SELECT doc_id, text,
+                         CASE WHEN len(trim(text)) = 0 THEN 0
+                              ELSE len({_TOKS_SQL.format(c="text")}) END
+                           AS ntok
+                  FROM s3)
+            ), keep4 AS (
+                SELECT doc_id FROM (
+                  SELECT q3.doc_id,
+                         row_number() OVER (
+                           PARTITION BY coalesce(c.component, q3.doc_id)
+                           ORDER BY q3.q DESC, q3.doc_id ASC) AS rn
+                  FROM q3 LEFT JOIN comp c ON q3.doc_id = c.node)
+                WHERE rn = 1
+            ), s4 AS (
+                SELECT s3.* FROM s3 SEMI JOIN keep4 USING (doc_id)
+            ), toks4 AS (
+                SELECT doc_id, rel_url,
+                       {_TOKS_SQL.format(c="lower(text)")} AS t FROM s4
+            ), win AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(t[i:i+7], ' ')) AS h
+                FROM toks4, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+                WHERE len(t) >= 8
+            ), dup AS (
+                SELECT doc_id, pos AS s, pos + 8 AS e FROM win
+                WHERE h IN (SELECT h FROM win GROUP BY h HAVING count(*) >= 2)
+            ), marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                            OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS ni
+                FROM dup
+            ), isl AS (
+                SELECT doc_id, s, e,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island
+                FROM marked
+            ), spans AS (
+                SELECT doc_id, min(s) AS a, max(e) AS b
+                FROM isl GROUP BY doc_id, island
+            ), per_doc AS (
+                SELECT doc_id, list(struct_pack(a := a, b := b)) AS sp
+                FROM spans GROUP BY doc_id
+            ), s5 AS (
+                SELECT t.doc_id, t.rel_url,
+                       coalesce(list_aggregate(list_filter(list_transform(
+                           generate_series(1, len(t.t)),
+                           i -> CASE WHEN len(list_filter(
+                                    coalesce(p.sp, []),
+                                    s -> i - 1 >= s.a AND i - 1 < s.b)) > 0
+                                THEN NULL ELSE t.t[i] END),
+                           x -> x IS NOT NULL), 'string_agg', ' '), '')
+                         AS text
+                FROM toks4 t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+            ), scored AS (
+                SELECT doc_id, rel_url, text,
+                       CASE WHEN best = 0 THEN 'und'
+                            WHEN h_de = best THEN 'de'
+                            WHEN h_en = best THEN 'en'
+                            WHEN h_es = best THEN 'es'
+                            ELSE 'fr' END AS lang,
+                       round(
+                         0.4 * (CASE WHEN ntok BETWEEN 10 AND 10000 THEN 1.0
+                                     WHEN ntok > 0 THEN 0.5 ELSE 0.0 END)
+                       + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                                ELSE len(regexp_replace(text,
+                                     '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                                     / len(text) END)
+                       + 0.3 * least(1.0, 5.0 * CASE WHEN ntok = 0 THEN 0.0
+                                ELSE h_en * 1.0 / ntok END), 6) AS quality,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]'))
+                         AS n_tokens
+                FROM (
+                  SELECT doc_id, rel_url, text,
+                         CASE WHEN len(trim(text)) = 0 THEN 0
+                              ELSE len({_TOKS_SQL.format(c="text")}) END
+                           AS ntok,
+                         {en} AS h_en, {de} AS h_de,
+                         {fr} AS h_fr, {es} AS h_es,
+                         greatest({en}, {de}, {fr}, {es}) AS best
+                  FROM s5)
+            ), gated AS (
+                SELECT * FROM scored WHERE quality >= 0.7 AND lang <> 'und'
+            ), gt AS (
+                SELECT doc_id, {toks_norm} AS t FROM gated
+            ), gg AS (
+                SELECT doc_id, unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 4, 0)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+                FROM gt
+            ), bt AS (
+                SELECT {toks_norm} AS t FROM documents WHERE doc_id % 50 = 0
+            ), bg AS (
+                SELECT DISTINCT gram FROM (
+                  SELECT unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 4, 0)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+                  FROM bt)
+            ), bad AS (
+                SELECT DISTINCT gg.doc_id FROM gg SEMI JOIN bg USING (gram)
+            ), decon AS (
+                SELECT gated.* FROM gated ANTI JOIN bad USING (doc_id)
+            ), sp AS (
+                SELECT *,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                 < 'c' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                 < 'e' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM decon
+            )
+            SELECT doc_id, rel_url AS url, split, lang, quality, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                          PARTITION BY split ORDER BY doc_id)
+                        - n_tokens) / 256.0) AS BIGINT) AS bin_id
+            FROM sp
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (

@@ -94,7 +94,8 @@ def make_spark(cpus: int, heap_gb: int | None = None):
     return builder.getOrCreate()
 
 
-def crawl_bench(spark, sf_dir: str, cpus: int = CPUS) -> dict:
+def crawl_bench(spark, sf_dir: str, cpus: int = CPUS,
+                bloom_min_seen_rows: int | None = None) -> dict:
     """Flagship: full BFS crawl over the synthetic corpus; reports the
     north-rule metrics (URLs scheduled+deduped/sec, pages fetched/sec).
 
@@ -120,10 +121,17 @@ def crawl_bench(spark, sf_dir: str, cpus: int = CPUS) -> dict:
 
     workdir = tempfile.mkdtemp(prefix=f"crawl_e2e_{cpus}_", dir=_fast_tmp())
     t0 = time.perf_counter()
+    cfg_kw = {}
+    if bloom_min_seen_rows is not None:
+        # forced-active variant: drop the adaptive gate so the bloom tier
+        # engages from round 0 — the A/B against the dormant default
+        # measures what the filter costs/pays at driver scale
+        cfg_kw["bloom_min_seen_rows"] = bloom_min_seen_rows
     cfg = CrawlConfig(
         max_count=n_pages,  # crawl the whole reachable graph
         use_bloom=True,
         shuffle_partitions=cpus,
+        **cfg_kw,
     )
     res = run_crawl(spark, pages, seeds, cfg, workdir=workdir)
     n_scheduled = res.schedule.count()
@@ -319,6 +327,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dsir_select_topk",
         "tfidf_top_terms",
         "dup_ngram_spans",
+        "corpus_release",
     ]
     times: dict[str, float] = {}
     for name in names:
@@ -373,13 +382,21 @@ def bench_once(cpus: int, sf_dir: str) -> dict:
             spark, cpus, n_pages=n_pages, corpus_path=corpus, cache_corpus=True
         )
         crawl = crawl_bench(spark, sf_dir, cpus)
+        # bloom-tier A/B (same corpus/config, adaptive gate dropped): the
+        # dormant-path flagship above never crosses bloom_min_seen_rows at
+        # bench scale, so this run is the driver-scale evidence of what the
+        # active filter tier costs/pays (seen_filter_pruned_rows > 0)
+        crawl_bloom = crawl_bench(spark, sf_dir, cpus, bloom_min_seen_rows=0)
         qtimes = run_queries(spark, sf_dir)
     finally:
         spark.stop()
-    total = round(fr["sec"] + crawl["sec"] + sum(qtimes.values()), 3)
+    total = round(
+        fr["sec"] + crawl["sec"] + crawl_bloom["sec"] + sum(qtimes.values()), 3
+    )
     queries = {
         "frontier_round": round(fr["sec"], 3),
         "crawl_flagship": round(crawl["sec"], 3),
+        "crawl_flagship_bloom": round(crawl_bloom["sec"], 3),
         **qtimes,
     }
     return {
@@ -391,6 +408,7 @@ def bench_once(cpus: int, sf_dir: str) -> dict:
         "cpus": cpus,
         "frontier_round": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in fr.items()},
         "crawl": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in crawl.items()},
+        "crawl_bloom": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in crawl_bloom.items()},
     }
 
 
