@@ -339,7 +339,9 @@ def main() -> None:
         "redirect_round_join (no jump tables in the round lineage)",
         round_joined,
         "exactly one join node",
-        lambda p: p.count("HashJoin") == 1,
+        # formatted plans print each join twice (tree line + detail
+        # section); "Join type:" appears exactly once per join operator
+        lambda p: p.count("Join type:") == 1,
     )
 
     # canonical extraction: regexp/concat inside whole-stage codegen; page
