@@ -707,6 +707,32 @@ def scaling_report(sf_dir: str) -> None:
         "storage with tmpfs parquet re-reads). The 50.4 s reading was the",
         "box phase, not the code.",
         "",
+        "## Redirect-loop hoist A/B (round 5)",
+        "",
+        "Round 4 resolved the redirect mapping INSIDE the crawl round:",
+        "every round re-derived the jump tables (3 self-joins over the hop",
+        "table) and re-distincted the full frontier. Round 5 resolves the",
+        "redirect-source set ONCE before the loop (resolve_redirect_sources",
+        "→ checkpointed redirect_map) and applies one hash join per round.",
+        "Measured on a 5-round redirect crawl (4800-page corpus,",
+        "branching 16, ~10k hop rows, local[16], fresh subprocess per rep,",
+        "arms INTERLEAVED, identical outputs: 9050 scheduled on both):",
+        "",
+        "| arm | secs (3 reps) | median | robots phase | fetch_extract |",
+        "|---|---|---|---|---|",
+        "| in-loop (round 4, a97749e) | 40.4 / 43.6 / 40.8 | 40.8 | 12.2 | 19.9 |",
+        "| hoisted (round 5) | 26.4 / 24.7 / 26.1 | 26.1 | 2.8 | 8.6 |",
+        "",
+        "1.56× faster end-to-end even after paying the one-time mapping",
+        "build (~6 s, amortized across rounds and restored free on",
+        "resume). The win lands exactly where the plan changed: the",
+        "robots/redirect phase (in-loop distinct + jump rebuild gone) and",
+        "fetch_extract (whose lineage no longer re-executes the jump-table",
+        "joins). At 10^10-URL rounds the removed per-round work was a full",
+        "frontier shuffle+agg plus three hop-table self-joins per round;",
+        "the remaining cost is one bounded-side hash join. PLANS.md",
+        "(redirect_round_join) asserts the round lineage shape.",
+        "",
         "## Checkpoint codec (round 3)",
         "",
         "The per-round fetched/enqueue logs are the round's dominant bytes,",
