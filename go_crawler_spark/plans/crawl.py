@@ -300,6 +300,28 @@ def _observe_filter_pruned(new_urls: DataFrame) -> "tuple[DataFrame, Observation
     return out, obs
 
 
+def _filter_obs_counts(obs: Observation) -> "tuple[int, int]":
+    """``Observation.get`` for the seen-filter audit row, tolerant of AQE
+    empty-relation propagation.
+
+    The filter observation sits MID-plan (on ``new_urls``, below the
+    enqueue write), unlike the admission aggregates which ride the write
+    root. When a round's candidate set turns out runtime-empty, AQE's
+    empty-relation rule can eliminate the observed ``CollectMetrics`` node
+    from the executed plan; the observation then completes with a
+    SCHEMALESS empty row. Scala's ``Observation.get`` maps that to an
+    empty Map, but PySpark's ``get`` feeds the raw row into
+    ``PythonSQLUtils.toPyRow``, whose ``GenericRowWithSchema`` assertion
+    fails. Zero rows flowed through the node in that case, so both
+    counters are zero — exactly what the audit row should record.
+    """
+    jrow = obs._jo.getRow()  # blocks until the observed action finishes
+    if jrow is None or jrow.schema() is None or jrow.size() == 0:
+        return 0, 0
+    row = obs.get  # the normal decode path (future already resolved)
+    return int(row["filter_pruned"]), int(row["filter_candidates"])
+
+
 def _new_seen_filter(cfg: CrawlConfig):
     """Seen-prefilter per config: bloom (default), cuckoo (supports URL
     retirement for TTL re-crawls), or none. Both expose the same API
@@ -923,14 +945,14 @@ def run_crawl(
         release_pending_caches()
         if verdicts is not None:
             verdicts.unpersist()
-        # seen-filter audit row: Observation.get is already populated (the
+        # seen-filter audit row: the observation is already populated (the
         # enqueue write above executed the observed plan) — zero extra jobs
         flt = {"round": rnd, "active": bloom is not None,
                "pruned": 0, "candidates": None}
         if filter_obs is not None:
-            og = filter_obs.get
-            flt["pruned"] = int(og["filter_pruned"])
-            flt["candidates"] = int(og["filter_candidates"])
+            pruned, cand = _filter_obs_counts(filter_obs)
+            flt["pruned"] = pruned
+            flt["candidates"] = cand
         seen_filter_log.append(flt)
         seen_names.append(f"enqueue_{rnd + 1}")
         n_admitted = int(stats["n_admitted"])

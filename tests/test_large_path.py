@@ -197,3 +197,30 @@ def test_priority_schedule_equals_naive_topk(spark):
     assert len(got) == 137
     for i, r in enumerate(want_rows):
         assert got[r["url"]] == (r["priority"], i)
+
+
+def test_crawl_large_path_bloom_active_empty_final_round(
+    spark, pages_df, monkeypatch
+):
+    """Regression: with the seen filter active and the distributed enqueue
+    path, the crawl's LAST round has a runtime-empty new-URL set; AQE's
+    empty-relation propagation then eliminates the mid-plan CollectMetrics
+    node the seen-filter audit observes, and the observation completes
+    with a schemaless empty row. PySpark's Observation.get dies on that
+    row inside PythonSQLUtils.toPyRow (GenericRowWithSchema assertion) —
+    _filter_obs_counts must map it to (0, 0) instead. This is exactly the
+    bench crawl_flagship_bloom configuration (bloom_min_seen_rows=0)."""
+    monkeypatch.setattr(crawlmod, "SMALL_INPUT_ROWS", -1)  # force _enqueue_large
+    cfg = CrawlConfig(max_count=40, use_bloom=True, bloom_min_seen_rows=0)
+    res = run_crawl(spark, pages_df, default_seeds(), cfg)
+
+    # behavior identical to the simulator regardless of the filter tier
+    sim = simulate(generate_corpus_dict(N_PAGES, 42), default_seeds(), cfg)
+    e_sched = {(r["url"], r["kind"], r["depth"], r["seq"]) for r in res.schedule.collect()}
+    s_sched = {(it.url, it.kind, it.depth, it.seq) for it in sim.schedule}
+    assert e_sched == s_sched
+
+    # the audit log covers every loop round; rounds whose candidate set
+    # was runtime-empty (AQE-collapsed plan) record zero counters
+    assert res.seen_filter and all(e["active"] for e in res.seen_filter)
+    assert all(e["pruned"] >= 0 for e in res.seen_filter)
