@@ -1494,6 +1494,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup_by_final_url(urls, edges)
 
+    def redirect_resolve_robots(spark, sf):
+        """Per-hop robots on redirect chains [EXTENSION — crawl-data]: a
+        policy-abiding crawler may not REQUEST a disallowed URL at ANY hop
+        (RFC 9309 applies per request), so a chain hopping THROUGH a
+        blocked URL aborts before that request — blocked_robots_hop, no
+        page. Mechanics (operators/redirects.py): edges into blocked URLs
+        are cut ONCE up front (the predecessor becomes a blocked
+        terminal), the budgeted pointer-doubling walk runs unchanged, and
+        one relabeling join marks walks ending on a cut terminal — per-hop
+        enforcement at zero added cost per jump. The blocked URL as an
+        INPUT is request 1 = the caller's gate, so it still resolves from
+        itself; budget exhaustion wins over a cut reached AT the budget.
+        Blocked set here: a fixed suffix list over the same committed edge
+        graph, cutting chains mid-way (/chain8/4), a cycle entry
+        (/rho3/c1), fan-in terminals (/fan/z), a min(dst) winner (/dup/a),
+        and a beyond-budget node (/chain14/12). Oracle: hop-capped
+        RECURSIVE CTE over the pre-cut edge set in DuckDB."""
+        from go_crawler_spark.datagen import redirect_edges_df
+        from go_crawler_spark.operators.redirects import resolve_redirects
+
+        edges = redirect_edges_df(spark, 40)
+        urls = edges.selectExpr("src_url AS url").union(
+            edges.selectExpr("dst_url AS url")
+        )
+        suf = ("%/chain8/4", "%/rho3/c1", "%/fan/z", "%/dup/a",
+               "%/chain14/12")
+        blocked = urls.where(
+            " OR ".join(f"url LIKE '{s}'" for s in suf)
+        ).distinct()
+        return resolve_redirects(urls, edges, blocked_urls=blocked)
+
     def canonical_consolidation(spark, sf):
         """<link rel=canonical> consolidation [EXTENSION — webtext-data]:
         the page's self-declared dedup key, discarded by the reference's
@@ -1776,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": anchor_text_agg,
         "redirect_resolve": redirect_resolve,
         "redirect_alias_dedup": redirect_alias_dedup,
+        "redirect_resolve_robots": redirect_resolve_robots,
         "canonical_consolidation": canonical_consolidation,
         "dup_ngram_spans": dup_ngram_spans,
         "excise_dup_spans": excise_dup_spans,
@@ -3276,6 +3308,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT last AS final_url, CAST(count(*) AS BIGINT) AS n_aliases,
                    min(url) AS first_alias
             FROM fin WHERE t < 10 GROUP BY last
+        """,
+        "redirect_resolve_robots": f"""
+            WITH RECURSIVE u AS (
+                SELECT src_url AS url
+                FROM read_parquet('{fix}/redirect_edges.parquet')
+                UNION
+                SELECT dst_url FROM read_parquet('{fix}/redirect_edges.parquet')
+            ), blocked AS (
+                SELECT url FROM u
+                WHERE url LIKE '%/chain8/4' OR url LIKE '%/rho3/c1'
+                   OR url LIKE '%/fan/z' OR url LIKE '%/dup/a'
+                   OR url LIKE '%/chain14/12'
+            ), e0 AS (
+                SELECT src_url AS src, min(dst_url) AS dst
+                FROM read_parquet('{fix}/redirect_edges.parquet')
+                GROUP BY src_url
+            ), cut AS (
+                SELECT src FROM e0 WHERE dst IN (SELECT url FROM blocked)
+            ), e AS (
+                SELECT src, dst FROM e0
+                WHERE dst NOT IN (SELECT url FROM blocked)
+            ), walk(url, cur, hops) AS (
+                SELECT url, url, 0 FROM u
+                UNION ALL
+                SELECT w.url, e.dst, w.hops + 1
+                FROM walk w JOIN e ON w.cur = e.src
+                WHERE w.hops < 10
+            ), fin AS (
+                SELECT url, max(hops) AS t, max_by(cur, hops) AS last
+                FROM walk GROUP BY url
+            )
+            SELECT url,
+                   CASE WHEN t >= 10 THEN NULL
+                        WHEN last IN (SELECT src FROM cut) THEN NULL
+                        ELSE last END AS final_url,
+                   CAST(t AS INTEGER) AS hops,
+                   CASE WHEN t >= 10 THEN 'stopped_after_10_redirects'
+                        WHEN last IN (SELECT src FROM cut)
+                            THEN 'blocked_robots_hop'
+                        ELSE 'ok' END AS status
+            FROM fin
         """,
         "canonical_consolidation": f"""
             WITH m AS (

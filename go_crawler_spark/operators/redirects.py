@@ -43,6 +43,9 @@ GO_MAX_REQUESTS = 10
 
 STATUS_OK = "ok"
 STATUS_STOPPED = "stopped_after_10_redirects"  # Go's own error text
+# a hop TARGET (request 2..n of the chain) is robots-disallowed: the
+# crawler aborts before issuing that request, so the chain yields no page
+STATUS_BLOCKED_HOP = "blocked_robots_hop"
 
 
 def normalize_redirect_edges(edges: DataFrame, src: str = "src_url",
@@ -55,6 +58,26 @@ def normalize_redirect_edges(edges: DataFrame, src: str = "src_url",
     )
 
 
+def blocked_hop_targets(edges: DataFrame, robots: DataFrame,
+                        dst: str = "dst_url") -> DataFrame:
+    """The robots-disallowed subset of the edge table's hop targets — the
+    set of URLs a policy-abiding client may never REQUEST as a redirect
+    hop. Bounded by the edge table (~10^8 rows at web scale, never the
+    frontier); one distinct + one broadcast rules join. Accepts both rule
+    shapes :func:`go_crawler_spark.operators.politeness.apply_robots`
+    accepts. Returns a single-column ``(url)`` frame for
+    :func:`resolve_redirects`'s ``blocked_urls``."""
+    from go_crawler_spark.functions.urls import registrable_host_udf
+    from go_crawler_spark.operators.politeness import apply_robots
+
+    dsts = (
+        edges.select(F.col(dst).alias("url")).distinct()
+        .withColumn("host", registrable_host_udf("url"))
+    )
+    _, blocked = apply_robots(dsts, robots)
+    return blocked.select("url")
+
+
 def resolve_redirects(
     urls: DataFrame,
     edges: DataFrame,
@@ -63,6 +86,7 @@ def resolve_redirects(
     dst: str = "dst_url",
     max_requests: int = GO_MAX_REQUESTS,
     assume_unique: bool = False,
+    blocked_urls: "DataFrame | None" = None,
 ) -> DataFrame:
     """Resolve each URL in ``urls[url_col]`` through the redirect table to
     its final fetch target under the Go client's request budget.
@@ -83,9 +107,34 @@ def resolve_redirects(
     input is unique by construction — a seen-deduped crawl frontier, the
     redirect-source set itself — must not pay a full shuffle+agg of every
     URL just to re-prove it.
+
+    ``blocked_urls`` (optional one-column URL frame, e.g.
+    :func:`blocked_hop_targets`) enforces robots per-REQUEST on the hops:
+    a chain whose NEXT Location is a blocked URL aborts before issuing
+    that request — requests 2..n are the resolver's responsibility,
+    request 1 (the input URL itself) stays the caller's. Such chains
+    return ``blocked_robots_hop`` with NULL ``final_url`` and ``hops`` =
+    redirects successfully followed before the forbidden one. Mechanics:
+    edges INTO blocked URLs are cut once up front (the src becomes a
+    blocked terminal), so the budgeted walk needs no extra per-jump
+    logic — one semi/anti join on the (bounded) edge table plus one
+    relabeling join on the result. Budget exhaustion wins over a blocked
+    terminal reached exactly AT the budget (no request happens either
+    way; Go's client errors first).
     """
     budget = max_requests  # capped walk length: hops==budget ⇒ stopped
     e1 = normalize_redirect_edges(edges, src, dst)
+    cut_srcs = None
+    if blocked_urls is not None:
+        b = (
+            blocked_urls.select(
+                F.col(blocked_urls.columns[0]).alias("_b")
+            ).distinct().hint("shuffle_hash")
+        )
+        # srcs whose (single, post-normalization) Location is forbidden
+        # become terminals: any walk reaching them stops there, blocked
+        cut_srcs = e1.join(b, e1["_dst"] == b["_b"], "left_semi").select("_src")
+        e1 = e1.join(b, e1["_dst"] == b["_b"], "left_anti")
 
     # Every join below hints shuffle_hash: the walk key changes at every
     # jump, so a sort-merge join's sorted outputs are never reusable — the
@@ -157,7 +206,27 @@ def resolve_redirects(
         F.when(stopped, F.lit(STATUS_STOPPED))
         .otherwise(F.lit(STATUS_OK)).alias("status"),
     )
-    return terminal0.unionByName(resolved)
+    out = terminal0.unionByName(resolved)
+    if cut_srcs is not None:
+        # relabel walks that ended on a blocked terminal (incl. hop-0
+        # inputs whose own Location is forbidden, which land in terminal0
+        # after the edge cut). Budget-stopped rows carry NULL final_url
+        # and can never match — stopped wins, as documented.
+        cut = cut_srcs.select(
+            F.col("_src").alias("final_url"), F.lit(True).alias("_cut")
+        ).hint("shuffle_hash")
+        out = (
+            out.join(cut, "final_url", "left")
+            .select(
+                "url",
+                F.when(F.col("_cut").isNull(), F.col("final_url"))
+                .alias("final_url"),
+                "hops",
+                F.when(F.col("_cut").isNotNull(), F.lit(STATUS_BLOCKED_HOP))
+                .otherwise(F.col("status")).alias("status"),
+            )
+        )
+    return out
 
 
 def resolve_redirect_sources(
@@ -165,6 +234,7 @@ def resolve_redirect_sources(
     src: str = "src_url",
     dst: str = "dst_url",
     max_requests: int = GO_MAX_REQUESTS,
+    blocked_urls: "DataFrame | None" = None,
 ) -> DataFrame:
     """Resolve ONLY the redirect-source set: ``(url, final_url, hops,
     status)`` for every distinct ``src`` in the hop table.
@@ -184,6 +254,7 @@ def resolve_redirect_sources(
         e1.select(F.col("_src").alias("url")),
         edges, "url", src, dst, max_requests,
         assume_unique=True,  # groupBy keys are unique by construction
+        blocked_urls=blocked_urls,
     )
 
 

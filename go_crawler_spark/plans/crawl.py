@@ -506,10 +506,12 @@ def run_crawl(
     politeness-only column; the frontier's own ``host`` stays the ALIAS
     host so politeness-deferred rows re-enter the next round's
     pre-redirect gates with (alias host, alias path) intact. Robots is
-    enforced on the alias and the final target; intermediate hops of a
-    chain are NOT individually checked (documented approximation — each
-    intermediate is itself a mapping key, so full per-hop enforcement is
-    a pre-filter of the edge table against robots).
+    enforced on EVERY request of a chain: the alias (pre-redirect gate),
+    each intermediate hop (baked into the one-time mapping via
+    :func:`go_crawler_spark.operators.redirects.blocked_hop_targets` —
+    chains aborting at a disallowed hop carry ``blocked_robots_hop`` and
+    are logged ``skipped_robots``), and the final target (per-request
+    re-check after resolution).
 
     ``trap_refresh_rounds=R`` (0 = off) closes the trap loop IN-CRAWL: every
     R rounds the fetched-so-far log is re-censused
@@ -556,15 +558,26 @@ def run_crawl(
     redirect_map = None
     if redirects is not None:
         from go_crawler_spark.operators.redirects import (
+            blocked_hop_targets,
             resolve_redirect_sources,
         )
 
         t = time.perf_counter()
         if not io.exists("redirect_map"):
+            # robots per-REQUEST also covers requests 2..n of a chain:
+            # hop targets robots disallows abort the chain before the
+            # forbidden request (blocked_robots_hop in the mapping).
+            # Robots is loop-invariant like the edges, so the enforcement
+            # is baked into the one-time mapping at zero per-round cost;
+            # the blocked set is bounded by the edge table's dst column.
+            blocked_hops = (
+                blocked_hop_targets(redirects, robots)
+                if robots is not None else None
+            )
             io.write(
-                resolve_redirect_sources(redirects).select(
-                    "url", "final_url", "status"
-                ),
+                resolve_redirect_sources(
+                    redirects, blocked_urls=blocked_hops
+                ).select("url", "final_url", "status"),
                 "redirect_map", cfg.retry,
             )
         redirect_map = io.read("redirect_map")
@@ -720,15 +733,24 @@ def run_crawl(
             # and no jump-table joins (plan-asserted in PLANS.md). Rows
             # whose URL is not a redirect source pass with NULL _final.
             from go_crawler_spark.operators.redirects import (
+                STATUS_BLOCKED_HOP,
                 STATUS_STOPPED,
                 apply_redirect_mapping,
             )
 
             allowed = apply_redirect_mapping(allowed, redirect_map)
             rstop = F.col("_rstatus") == F.lit(STATUS_STOPPED)
+            rhop = F.col("_rstatus") == F.lit(STATUS_BLOCKED_HOP)
             blocked_parts.append(_blocked_log(
                 allowed.filter(rstop).drop("_final", "_rstatus"),
                 "skipped_redirect",
+            ))
+            # chains aborted at a robots-disallowed INTERMEDIATE hop (the
+            # mapping pre-bakes per-hop enforcement; see redirect_map
+            # above) — same per-request status as the alias/target gates
+            blocked_parts.append(_blocked_log(
+                allowed.filter(rhop).drop("_final", "_rstatus"),
+                "skipped_robots",
             ))
             # The request lands on the RESOLVED host, so politeness slots
             # and the per-request robots re-check must bound the TARGET —
@@ -742,7 +764,9 @@ def run_crawl(
             # across Arrow (same trick as the parse UDF below).
             redirected = F.col("_final").isNotNull()
             allowed = (
-                allowed.filter(F.col("_rstatus").isNull() | ~rstop)
+                allowed.filter(
+                    F.col("_rstatus").isNull() | ~(rstop | rhop)
+                )
                 .withColumn("_fetch_url", F.coalesce("_final", "url"))
                 .withColumn(
                     "_fetch_host",
@@ -759,12 +783,12 @@ def run_crawl(
                 # robots applies per-REQUEST: a redirect into a disallowed
                 # path is blocked even when the alias itself is allowed
                 # (re-checking unredirected rows is idempotent — they
-                # already passed above). Documented approximation: only
-                # the alias and the FINAL target are checked; intermediate
-                # hops of a chain are not (each intermediate is itself a
-                # mapping key, so a policy layer wanting full per-hop
-                # enforcement can pre-filter the edge table against robots
-                # before passing it in).
+                # already passed above). Intermediate hops were already
+                # enforced when the mapping was materialized
+                # (blocked_hop_targets above), so together the three
+                # gates cover every request of the chain: alias (pre-
+                # redirect gate), hops 2..n-1 (mapping), final target
+                # (this re-check).
                 chk = (
                     allowed.withColumnRenamed("url", "_orig_url")
                     .withColumnRenamed("_fetch_url", "url")

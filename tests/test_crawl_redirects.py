@@ -199,3 +199,45 @@ def test_robots_applies_to_redirect_target(spark, corpus, redirect_edges,
     assert status[f"{H}/direct.html"] == "ok"
     # /real.html's child never gets discovered (the alias never fetched)
     assert f"{H}/leaf.html" not in status
+
+
+def test_robots_blocks_intermediate_hop(spark, tmp_path_factory):
+    """robots is per-REQUEST on EVERY hop of a chain: a chain hopping
+    THROUGH a disallowed URL is aborted before that request even when the
+    alias and the final target are both allowed — previously only the
+    endpoints were checked (documented approximation, now implemented via
+    blocked_hop_targets baked into the one-time redirect mapping). A
+    sibling chain through an allowed intermediate still fetches."""
+    rows = {
+        f"{H}/hub2.html": _page(
+            [f"{H}/via-bad.html", f"{H}/via-ok.html"], "hub2"),
+        f"{H}/end-bad.html": _page([], "unreachable body"),
+        f"{H}/end-ok.html": _page([], "reached body"),
+    }
+    corpus = spark.createDataFrame(
+        [(u, EPOCH, b, "", "en") for u, b in sorted(rows.items())],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    edges = spark.createDataFrame(
+        [(f"{H}/via-bad.html", f"{H}/mid-bad.html"),
+         (f"{H}/mid-bad.html", f"{H}/end-bad.html"),
+         (f"{H}/via-ok.html", f"{H}/mid-ok.html"),
+         (f"{H}/mid-ok.html", f"{H}/end-ok.html")],
+        "src_url string, dst_url string",
+    )
+    # /mid-bad is disallowed; both chain ENDPOINTS are allowed everywhere
+    robots = spark.createDataFrame(
+        [("site.example.com", "/mid-bad")],
+        "host string, disallow_prefix string",
+    )
+    res = run_crawl(
+        spark, corpus, [f"{H}/hub2.html"], CrawlConfig(max_count=50),
+        workdir=str(tmp_path_factory.mktemp("crawl_redirects_hop")),
+        redirects=edges, robots=robots,
+    )
+    status = {r["url"]: r["status"] for r in res.fetched.collect()}
+    assert status[f"{H}/via-bad.html"] == "skipped_robots"
+    assert status[f"{H}/via-ok.html"] == "ok"
+    pages = {r["url"]: bytes(r["html"]) for r in res.pages_out.collect()}
+    assert b"reached body" in pages[f"{H}/via-ok.html"]
+    assert f"{H}/via-bad.html" not in pages

@@ -12,6 +12,7 @@ import pytest
 
 from go_crawler_spark.datagen import redirect_edges, redirect_edges_df
 from go_crawler_spark.operators.redirects import (
+    STATUS_BLOCKED_HOP,
     STATUS_OK,
     STATUS_STOPPED,
     resolve_redirects,
@@ -155,4 +156,94 @@ def test_random_functional_graphs_property(spark):
         got = {r["url"]: (r["final_url"], r["hops"], r["status"])
                for r in resolve_redirects(
                    urls, df_edges, max_requests=budget).collect()}
+        assert got == expect, f"trial {trial} budget {budget}"
+
+
+# ---------------------------------------------------------------------------
+# per-hop robots enforcement (blocked_urls)
+# ---------------------------------------------------------------------------
+
+
+def py_resolve_blocked(edges: list[tuple], blocked: set[str],
+                       budget: int = 10) -> dict[str, tuple]:
+    """Independent walker with per-REQUEST robots on hops 2..n: abort
+    BEFORE stepping into a blocked URL; budget exhaustion checked first
+    (no request happens either way — Go's client errors first)."""
+    nxt: dict[str, str] = {}
+    for s, d in edges:
+        nxt[s] = min(nxt[s], d) if s in nxt else d
+    out = {}
+    for u in sorted({s for s, _ in edges} | {d for _, d in edges}):
+        cur, hops, cut = u, 0, False
+        while cur in nxt and hops < budget:
+            if nxt[cur] in blocked:
+                cut = True
+                break
+            cur = nxt[cur]
+            hops += 1
+        if hops >= budget:
+            out[u] = (None, budget, STATUS_STOPPED)
+        elif cut:
+            out[u] = (None, hops, STATUS_BLOCKED_HOP)
+        else:
+            out[u] = (cur, hops, STATUS_OK)
+    return out
+
+
+BLOCK_SUFFIXES = ("/chain8/4", "/rho3/c1", "/fan/z", "/dup/a", "/chain14/12")
+
+
+def test_blocked_hops_match_walker(spark):
+    """Chains cut mid-way (chain8 at hop 3), a broken cycle entry
+    (rho3/c1 removes the c0->c1 edge), hop-0 cuts (fan/a,b,c and dup/s —
+    its min(dst) IS /dup/a), and a cut beyond the budget's reach
+    (chain14/12: walks from the head still stop on budget; walks from
+    depth >=5 get blocked). The blocked URL itself as an INPUT is
+    request 1 = the caller's duty: /chain8/4 resolves ok from itself."""
+    edges = redirect_edges(2)
+    blocked = {d for _, d in edges if d.endswith(BLOCK_SUFFIXES)} | {
+        s for s, _ in edges if s.endswith(BLOCK_SUFFIXES)}
+    df_edges = redirect_edges_df(spark, 2)
+    urls = df_edges.selectExpr("src_url AS url").union(
+        df_edges.selectExpr("dst_url AS url"))
+    bdf = spark.createDataFrame([(u,) for u in sorted(blocked)], "url string")
+    got = {r["url"]: (r["final_url"], r["hops"], r["status"])
+           for r in resolve_redirects(urls, df_edges, blocked_urls=bdf)
+           .collect()}
+    expect = py_resolve_blocked(edges, blocked)
+    assert got == expect
+    # shape spot-checks so the fixture really exercises each case
+    b = "https://r0.example.com"
+    assert got[f"{b}/chain8/0"] == (None, 3, STATUS_BLOCKED_HOP)
+    assert got[f"{b}/chain8/4"][2] == STATUS_OK  # input = request 1
+    assert got[f"{b}/fan/a"] == (None, 0, STATUS_BLOCKED_HOP)
+    assert got[f"{b}/dup/s"] == (None, 0, STATUS_BLOCKED_HOP)
+    assert got[f"{b}/chain14/0"] == (None, 10, STATUS_STOPPED)  # budget wins
+    assert got[f"{b}/chain14/5"] == (None, 6, STATUS_BLOCKED_HOP)
+    assert got[f"{b}/rho3/t0"] == (None, 3, STATUS_BLOCKED_HOP)
+
+
+def test_blocked_random_graphs_property(spark):
+    """Property: arbitrary functional graphs x random blocked subsets x
+    non-power-of-two budgets — doubling resolver == literal walker."""
+    import random
+
+    rng = random.Random(99)
+    for trial, budget in ((0, 10), (1, 7), (2, 3)):
+        n = 100
+        edges = [(f"u{i}", f"u{rng.randrange(n)}")
+                 for i in range(n) if rng.random() < 0.8]
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        blocked = set(rng.sample(nodes, len(nodes) // 6))
+        expect = py_resolve_blocked(edges, blocked, budget)
+        df_edges = spark.createDataFrame(
+            edges, "src_url string, dst_url string")
+        urls = df_edges.selectExpr("src_url AS url").union(
+            df_edges.selectExpr("dst_url AS url"))
+        bdf = spark.createDataFrame(
+            [(u,) for u in sorted(blocked)], "url string")
+        got = {r["url"]: (r["final_url"], r["hops"], r["status"])
+               for r in resolve_redirects(
+                   urls, df_edges, max_requests=budget,
+                   blocked_urls=bdf).collect()}
         assert got == expect, f"trial {trial} budget {budget}"

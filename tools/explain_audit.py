@@ -309,6 +309,19 @@ def main() -> None:
          "SortMergeJoin": False},
     )
 
+    # per-hop robots enforcement rides the same walk: the edge cut (one
+    # semi + one anti join on the bounded edge table) and the terminal
+    # relabeling join add no Python eval and no sort-merge joins — the
+    # blocked set exchanges URL strings only, like everything else here
+    r_blocked = r_edges.selectExpr("dst_url AS url").where(
+        "url LIKE '%/fan/z' OR url LIKE '%/chain8/4'").distinct()
+    audit(
+        "redirect_resolve_robots (edge cut + relabel, all-JVM)",
+        resolve_redirects(r_urls, r_edges, blocked_urls=r_blocked),
+        {"BatchEvalPython": False, "ArrowEvalPython": False,
+         "SortMergeJoin": False},
+    )
+
     # per-round in-crawl redirect application: the round lineage joins the
     # frontier ONCE against the pre-materialized source mapping — no
     # distinct-aggregate on the frontier, no jump-table joins (the mapping
