@@ -16,6 +16,11 @@ obviously, exactly the semantics of the reference's queue + pipeline —
 - [EXTENSION] depth limit (children beyond max_depth are never pushed),
   per-host politeness slots per round, robots disallow prefixes — the
   north-rule semantics the engine must match under the same config.
+- [EXTENSION] redirects: min(dst)-per-src hop table under Go's 10-request
+  budget, per-hop robots (the chain aborts before a forbidden request),
+  final-target content fetched under the alias's URL identity, politeness
+  keyed on the target host while deferred rows keep the alias host —
+  mirror of run_crawl(redirects=...).
 
 The Spark engine must reproduce this simulator's schedule (url, kind,
 depth, seq, fetch round), statuses, and final seen set bit-for-bit.
@@ -117,6 +122,14 @@ def simulate(
     # re-census the fetched log (template -> url count, distinct md5
     # fingerprints) and add templates that are prolific AND content-poor
     # (operators/traps.py::url_trap_census semantics) to the gate; 0 = off
+    redirects: "Optional[List[tuple]]" = None,
+    # [EXTENSION] (src_url, dst_url) redirect hop rows, the engine's
+    # run_crawl(redirects=...): min(dst) per src, Go 10-request budget
+    # (stopped chains -> skipped_redirect, staying seen), per-hop robots
+    # (a chain hopping through a disallowed URL -> skipped_robots), fetch
+    # of the FINAL target's content under the alias's own URL identity,
+    # per-request robots re-check and politeness keyed on the TARGET host
+    # while deferred rows keep the alias host
 ) -> SimResult:
     res = SimResult()
     rules: Dict[str, List[str]] = {}
@@ -128,6 +141,44 @@ def simulate(
         else:
             h, allow, pat = entry
             rfc_rules.setdefault(h, []).append((bool(allow), pat))
+
+    def robots_blocked(url: str) -> bool:
+        """One request's robots verdict (both rule shapes), shared by the
+        frontier gate, the per-hop check, and the target re-check."""
+        h = registrable_host(url)
+        path = urlsplit(url).path
+        blocked = any(path.startswith(p) for p in rules.get(h, []))
+        if not blocked and h in rfc_rules:
+            hits = [
+                (len(pat), allow)
+                for allow, pat in rfc_rules[h]
+                # "/" default matches robots_verdict's null-path coalesce
+                if _rfc_match(path or "/", pat)
+            ]
+            blocked = bool(hits) and not max(hits)[1]
+        return blocked
+
+    # loop-invariant redirect-source mapping, the twin of the engine's
+    # redirect_map (operators/redirects.py::resolve_redirect_sources with
+    # blocked_hop_targets baked in when robots rules exist): follow min(dst)
+    # hops under the 10-request budget; abort BEFORE a request robots
+    # forbids (requests 2..n — request 1 stays the frontier gate's duty)
+    nxt: Dict[str, str] = {}
+    for s, d in redirects or []:
+        nxt[s] = min(nxt[s], d) if s in nxt else d
+    redirect_map: Dict[str, Tuple[Optional[str], str]] = {}
+    robots_enabled = bool(rules or rfc_rules)
+    for s in nxt:
+        cur, hops, rstat = s, 0, "ok"
+        while cur in nxt and hops < 10:
+            if robots_enabled and robots_blocked(nxt[cur]):
+                rstat = "blocked_hop"
+                break
+            cur = nxt[cur]
+            hops += 1
+        if rstat == "ok" and hops >= 10:
+            rstat = "stopped"
+        redirect_map[s] = (cur if rstat == "ok" else None, rstat)
 
     seq_counter = 0
     pages_enqueued = 0
@@ -189,25 +240,42 @@ def simulate(
                     remaining.append(it)
             frontier = remaining
 
-        # robots [EXTENSION]: blocked items leave the frontier without a slot
+        # robots [EXTENSION]: blocked items leave the frontier without a
+        # slot — request 1 of a (possibly redirecting) chain, on the ALIAS
         allowed: List[SimItem] = []
         for it in frontier:
-            path = urlsplit(it.url).path
-            blocked = any(path.startswith(p) for p in rules.get(it.host, []))
-            if not blocked and it.host in rfc_rules:
-                hits = [
-                    (len(pat), allow)
-                    for allow, pat in rfc_rules[it.host]
-                    # "/" default matches robots_verdict's null-path coalesce
-                    if _rfc_match(path or "/", pat)
-                ]
-                blocked = bool(hits) and not max(hits)[1]
-            if blocked:
+            if robots_blocked(it.url):
                 it.status, it.fetch_round = "skipped_robots", rnd
             else:
                 allowed.append(it)
 
-        # politeness [EXTENSION]: first `slots` per host by seq
+        # redirects [EXTENSION]: apply the loop-invariant mapping, then
+        # re-check robots on the RESOLVED target (per-request contract);
+        # the fetch target is tracked per-seq, the item's identity (url,
+        # host) stays the alias so deferred rows re-enter the next round's
+        # pre-redirect gates intact — exactly the engine's _fetch_url /
+        # _fetch_host politeness-only columns
+        fetch_url: Dict[int, str] = {}
+        if redirect_map:
+            remaining2: List[SimItem] = []
+            for it in allowed:
+                fin, rstat = redirect_map.get(it.url, (it.url, "ok"))
+                if rstat == "stopped":
+                    it.status, it.fetch_round = "skipped_redirect", rnd
+                elif rstat == "blocked_hop":
+                    it.status, it.fetch_round = "skipped_robots", rnd
+                elif fin != it.url and robots_blocked(fin):
+                    it.status, it.fetch_round = "skipped_robots", rnd
+                else:
+                    fetch_url[it.seq] = fin
+                    remaining2.append(it)
+            allowed = remaining2
+
+        def _target(it: SimItem) -> str:
+            return fetch_url.get(it.seq, it.url)
+
+        # politeness [EXTENSION]: first `slots` per host by seq — keyed on
+        # the host the request actually lands on (the resolved target)
         if cfg.host_slots_per_round > 0 or host_slot_overrides:
             default_slots = (
                 cfg.host_slots_per_round
@@ -218,9 +286,13 @@ def simulate(
             taken: Dict[str, int] = {}
             fetch_now, deferred = [], []
             for it in allowed:
-                limit = overrides.get(it.host, default_slots)
-                if taken.get(it.host, 0) < limit:
-                    taken[it.host] = taken.get(it.host, 0) + 1
+                slot_host = (
+                    registrable_host(_target(it))
+                    if it.seq in fetch_url else it.host
+                )
+                limit = overrides.get(slot_host, default_slots)
+                if taken.get(slot_host, 0) < limit:
+                    taken[slot_host] = taken.get(slot_host, 0) + 1
                     fetch_now.append(it)
                 else:
                     deferred.append(it)
@@ -233,7 +305,10 @@ def simulate(
         children_batch: List[Tuple[int, int, str, str, int]] = []
         for it in fetch_now:
             it.fetch_round = rnd
-            html = corpus.get(it.url)
+            # redirects resolve to the FINAL target's content; identity
+            # (url/seen/children base) stays the alias — reference parity:
+            # the Go client returns only the body (client.go:48-71)
+            html = corpus.get(_target(it))
             if html is None or len(html) > cfg.max_file_size:
                 it.status = "skipped_download"
                 html = None

@@ -241,3 +241,106 @@ def test_robots_blocks_intermediate_hop(spark, tmp_path_factory):
     pages = {r["url"]: bytes(r["html"]) for r in res.pages_out.collect()}
     assert b"reached body" in pages[f"{H}/via-ok.html"]
     assert f"{H}/via-bad.html" not in pages
+
+
+# ---------------------------------------------------------------------------
+# engine vs simulator parity under redirects (+ robots + politeness)
+# ---------------------------------------------------------------------------
+
+
+def _redirect_universe():
+    """A deterministic multi-host universe exercising every in-loop
+    redirect interaction at once: aliases into same-host and cross-host
+    chains, a budget-busting chain, a cycle, a robots-disallowed
+    INTERMEDIATE hop, a robots-disallowed FINAL target, aliases to
+    missing content (skipped_download), and per-host politeness pressure
+    so deferred aliases roll across rounds."""
+    hosts = [f"https://h{k}.example.org" for k in range(3)]
+    n = 6  # pages per host
+    corpus: dict[str, bytes] = {}
+    edges: list[tuple[str, str]] = []
+
+    def p(k, i):
+        return f"{hosts[k]}/p{i}.html"
+
+    def a(k, i):
+        return f"{hosts[k]}/alias{i}.html"
+
+    for k in range(3):
+        for i in range(n):
+            links = [p(k, (i + 1) % n), p((k + 1) % 3, i)]
+            links.append(a(k, i))  # every page links one alias
+            corpus[p(k, i)] = _page(links, f"body h{k} p{i}")
+    # alias shapes, one per (host, index):
+    for k in range(3):
+        # i=0: one hop, same host
+        edges.append((a(k, 0), p(k, 3)))
+        # i=1: two hops crossing hosts via a /mid URL (robots-blockable)
+        edges.append((a(k, 1), f"{hosts[(k + 1) % 3]}/mid{k}.html"))
+        edges.append((f"{hosts[(k + 1) % 3]}/mid{k}.html", p((k + 2) % 3, 4)))
+        # i=2: final target is /p5 (robots-blockable on h1)
+        edges.append((a(k, 2), p(1, 5)))
+        # i=3: chain that exceeds the 10-request budget
+        edges.append((a(k, 3), f"{hosts[k]}/long0.html"))
+        edges.extend(
+            (f"{hosts[k]}/long{j}.html", f"{hosts[k]}/long{j + 1}.html")
+            for j in range(10)
+        )
+        # i=4: 2-cycle
+        edges.append((a(k, 4), f"{hosts[k]}/cycA.html"))
+        edges.append((f"{hosts[k]}/cycA.html", a(k, 4)))
+        # i=5: resolves to content that is NOT in the corpus
+        edges.append((a(k, 5), f"{hosts[k]}/missing.html"))
+    seeds = [p(0, 0), p(1, 0)]
+    robots = [("h1.example.org", "/mid"), ("h1.example.org", "/p5")]
+    return corpus, edges, seeds, robots
+
+
+@pytest.mark.parametrize("slots", [0, 2])
+def test_engine_matches_simulator_with_redirects(spark, tmp_path_factory,
+                                                 slots):
+    from go_crawler_spark.datagen import EPOCH as EPOCH_TS
+    from go_crawler_spark.simulator import simulate
+
+    corpus, edges, seeds, robots = _redirect_universe()
+    pages_df = spark.createDataFrame(
+        [(u, EPOCH_TS, b, "", "en") for u, b in sorted(corpus.items())],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    edges_df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    robots_df = spark.createDataFrame(
+        robots, "host string, disallow_prefix string")
+    cfg = CrawlConfig(max_count=40, host_slots_per_round=slots)
+    res = run_crawl(
+        spark, pages_df, seeds, cfg,
+        workdir=str(tmp_path_factory.mktemp(f"crawl_rsim_{slots}")),
+        redirects=edges_df, robots=robots_df,
+    )
+    sim = simulate(corpus, seeds, cfg, robots=robots, redirects=edges)
+
+    e_sched = {(r["url"], r["kind"], r["depth"], r["seq"])
+               for r in res.schedule.collect()}
+    s_sched = {(it.url, it.kind, it.depth, it.seq) for it in sim.schedule}
+    assert e_sched == s_sched
+    e_fetched = {(r["url"], r["round"], r["status"], r["size"])
+                 for r in res.fetched.collect()}
+    s_fetched = {(it.url, it.fetch_round, it.status, it.size)
+                 for it in sim.schedule if it.fetch_round >= 0}
+    assert e_fetched == s_fetched
+    assert {r["url"] for r in res.seen.collect()} == sim.seen
+    e_metrics = {
+        (r["round"], r["pages_crawled"], r["pages_failed"],
+         r["links_discovered"], r["assets_found"], r["bytes_downloaded"])
+        for r in res.metrics.collect()
+    }
+    s_metrics = {
+        (m["round"], m["pages_crawled"], m["pages_failed"],
+         m["links_discovered"], m["assets_found"], m["bytes_downloaded"])
+        for m in sim.metrics
+    }
+    assert e_metrics == s_metrics
+    # the universe actually exercised each shape
+    statuses = {r["url"]: r["status"] for r in res.fetched.collect()}
+    assert any(v == "skipped_redirect" for v in statuses.values())
+    assert any(v == "skipped_robots" for v in statuses.values())
+    assert any(v == "skipped_download" for v in statuses.values())
