@@ -493,7 +493,11 @@ def run_crawl(
     table. The loop-invariant source mapping is resolved ONCE before the
     loop (:func:`go_crawler_spark.operators.redirects.
     resolve_redirect_sources`, the Go client's 10-request budget),
-    checkpointed as ``redirect_map`` (restored on resume), and each
+    checkpointed as ``redirect_map`` (restored on resume — NOTE the
+    mapping bakes the per-hop robots enforcement of the rules passed at
+    FIRST materialization, so resume legs must pass the same robots
+    table; changed rules require a fresh workdir or deleting
+    ``redirect_map``), and each
     round's frontier applies a single hash join against it BEFORE
     politeness and the fetch — budget-stopped chains are blocked as
     ``skipped_redirect`` (staying seen, Go's client would error after
