@@ -291,14 +291,21 @@ def _redirect_universe():
         edges.append((f"{hosts[k]}/cycA.html", a(k, 4)))
         # i=5: resolves to content that is NOT in the corpus
         edges.append((a(k, 5), f"{hosts[k]}/missing.html"))
-    seeds = [p(0, 0), p(1, 0)]
+    # one seed per host: the parser's same-host filter (P5) drops the
+    # cross-host <a> links, so unseeded hosts are unreachable by links
+    # (cross-host REDIRECTS still resolve - the fetch follows edges)
+    seeds = [p(0, 0), p(1, 0), p(2, 0)]
     robots = [("h1.example.org", "/mid"), ("h1.example.org", "/p5")]
     return corpus, edges, seeds, robots
 
 
-@pytest.mark.parametrize("slots", [0, 2])
+@pytest.mark.parametrize("variant", ["plain", "slots", "fullstack"])
 def test_engine_matches_simulator_with_redirects(spark, tmp_path_factory,
-                                                 slots):
+                                                 variant):
+    """fullstack = the whole gate chain at once: forced-active seen
+    filter + an external spider-trap template (blocks every h2 alias
+    BEFORE redirect resolution) + robots (alias, per-hop, and target) +
+    politeness pressure."""
     from go_crawler_spark.datagen import EPOCH as EPOCH_TS
     from go_crawler_spark.simulator import simulate
 
@@ -310,13 +317,24 @@ def test_engine_matches_simulator_with_redirects(spark, tmp_path_factory,
     edges_df = spark.createDataFrame(edges, "src_url string, dst_url string")
     robots_df = spark.createDataFrame(
         robots, "host string, disallow_prefix string")
-    cfg = CrawlConfig(max_count=40, host_slots_per_round=slots)
+    slots = 0 if variant == "plain" else 2
+    cfg = CrawlConfig(
+        max_count=40, host_slots_per_round=slots,
+        use_bloom=(variant == "fullstack"),
+        bloom_min_seen_rows=0 if variant == "fullstack" else 500_000,
+    )
+    traps = ["h2.example.org/alias<d>.html"] if variant == "fullstack" else None
+    traps_df = (
+        spark.createDataFrame([(t,) for t in traps], "template string")
+        if traps else None
+    )
     res = run_crawl(
         spark, pages_df, seeds, cfg,
-        workdir=str(tmp_path_factory.mktemp(f"crawl_rsim_{slots}")),
-        redirects=edges_df, robots=robots_df,
+        workdir=str(tmp_path_factory.mktemp(f"crawl_rsim_{variant}")),
+        redirects=edges_df, robots=robots_df, trap_templates=traps_df,
     )
-    sim = simulate(corpus, seeds, cfg, robots=robots, redirects=edges)
+    sim = simulate(corpus, seeds, cfg, robots=robots, redirects=edges,
+                   trap_templates=traps)
 
     e_sched = {(r["url"], r["kind"], r["depth"], r["seq"])
                for r in res.schedule.collect()}
@@ -344,3 +362,5 @@ def test_engine_matches_simulator_with_redirects(spark, tmp_path_factory,
     assert any(v == "skipped_redirect" for v in statuses.values())
     assert any(v == "skipped_robots" for v in statuses.values())
     assert any(v == "skipped_download" for v in statuses.values())
+    if variant == "fullstack":
+        assert any(v == "skipped_trap" for v in statuses.values())
