@@ -751,11 +751,15 @@ def run_crawl(
             ))
             # chains aborted at a robots-disallowed INTERMEDIATE hop (the
             # mapping pre-bakes per-hop enforcement; see redirect_map
-            # above) — same per-request status as the alias/target gates
-            blocked_parts.append(_blocked_log(
-                allowed.filter(rhop).drop("_final", "_rstatus"),
-                "skipped_robots",
-            ))
+            # above) — same per-request status as the alias/target gates.
+            # Gated on robots: a mapping built without rules can never
+            # carry the status, so the extra frontier-scan branch of the
+            # blocked-log union would be pure per-round overhead.
+            if robots is not None:
+                blocked_parts.append(_blocked_log(
+                    allowed.filter(rhop).drop("_final", "_rstatus"),
+                    "skipped_robots",
+                ))
             # The request lands on the RESOLVED host, so politeness slots
             # and the per-request robots re-check must bound the TARGET —
             # but that host lives in a politeness-only column (_fetch_host):
