@@ -218,6 +218,93 @@ class TestMultimodal:
             assert r["frame_bytes"] is not None
 
 
+class TestRealDecodeGolden:
+    """Golden-fixture pin of the REAL codec branch, runnable without
+    Pillow: a minimal PIL shim (tests/testdata/fakepil) decodes binary
+    PGM through the exact interface ``_decode_image_real`` consumes
+    (``Image.open`` context manager → ``convert("L")`` → numpy). When
+    real Pillow IS installed the shim is not used — PGM/P5 is a native
+    Pillow format, so the same goldens pin both environments."""
+
+    # 8×4 gradient, pixel values 0,8,...,248 — exactly one per histogram
+    # bin (32 bins over [0,256)) → the uniform 1/32 golden
+    GRADIENT = b"P5 8 4 255\n" + bytes(range(0, 256, 8))
+    # constant 200 → everything lands in bin 25
+    FLAT200 = b"P5 4 4 255\n" + bytes([200]) * 16
+
+    @staticmethod
+    def _shim_dir():
+        import os
+
+        return os.path.join(os.path.dirname(__file__), "testdata", "fakepil")
+
+    @pytest.fixture()
+    def fake_pil(self, monkeypatch):
+        """Yield the shim dir when Pillow is absent (and put it on the
+        driver's sys.path), or None when real Pillow should be used."""
+        import importlib.util
+        import sys
+
+        if importlib.util.find_spec("PIL") is not None:
+            yield None
+            return
+        monkeypatch.syspath_prepend(self._shim_dir())
+        yield self._shim_dir()
+        # scrub driver-side residue so later tests see "no PIL" again
+        sys.modules.pop("PIL.Image", None)
+        sys.modules.pop("PIL", None)
+        sys.path[:] = [p for p in sys.path if "fakepil" not in p]
+
+    def test_unit_golden_histogram(self, fake_pil):
+        from go_crawler_spark.operators.multimodal import _decode_image_real
+
+        f = _decode_image_real(self.GRADIENT)
+        assert f is not None
+        np.testing.assert_allclose(f, np.full(32, 1.0 / 32.0))
+        f2 = _decode_image_real(self.FLAT200)
+        assert f2 is not None and f2[25] == 1.0 and f2.sum() == 1.0
+        # corrupt / truncated / empty payloads are row outcomes, not errors
+        assert _decode_image_real(b"not an image") is None
+        assert _decode_image_real(b"P5 8 8 255\nshort") is None
+        assert _decode_image_real(b"") is None
+        assert _decode_image_real(None) is None
+
+    def test_spark_real_branch_golden(self, spark, fake_pil, tmp_path):
+        """decode='real' end-to-end through mapInPandas: the shim is
+        shipped to executors via addPyFile, so the worker-side import in
+        ``_decode_image_real`` resolves for real, not via monkeypatch."""
+        import shutil
+        import sys
+
+        import go_crawler_spark.operators.multimodal as mm
+
+        if fake_pil is not None:
+            zip_path = shutil.make_archive(str(tmp_path / "fakepil"), "zip", fake_pil)
+            spark.sparkContext.addPyFile(zip_path)
+        try:
+            rows = [
+                (0, "image", self.GRADIENT, None),
+                (1, "image", self.FLAT200, None),
+                (2, "image", b"corrupt bytes", None),
+                (3, "image", None, None),
+            ]
+            media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+            out = {
+                r["media_id"]: r
+                for r in extract_features(media, decode="real").collect()
+            }
+            np.testing.assert_allclose(out[0]["feature"], np.full(32, 1.0 / 32.0))
+            flat = out[1]["feature"]
+            assert flat[25] == 1.0 and abs(sum(flat) - 1.0) < 1e-12
+            assert out[2]["feature"] is None  # corrupt → NULL, task survives
+            assert out[3]["feature"] is None
+            assert out[2]["n_bytes"] == len(b"corrupt bytes")
+        finally:
+            sys.path[:] = [p for p in sys.path if "fakepil" not in p]
+            sys.modules.pop("PIL.Image", None)
+            sys.modules.pop("PIL", None)
+
+
 class TestPIIScrub:
     """Pin the PII patterns on hand-written strings, both through Spark's
     Java regex and through Python re (the patterns are restricted to
