@@ -678,6 +678,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", T.word_token_count(F.col("text")).alias("n_atoms")
         )
 
+    def ccnet_perplexity_buckets(spark, sf):
+        # CCNet-style LM quality bucketing (Wenzek et al. 2020): add-one
+        # bigram LM trained on the reference slice (doc_id % 10 < 3),
+        # every doc scored by mean -ln p(w_i|w_{i-1}), bucketed
+        # head/middle/tail at the exact 1/3 and 2/3 score percentiles.
+        # Scoring is explode + two broadcast count joins + one groupBy —
+        # the bucket step is a map-side CASE against fixed thresholds
+        # (CCNet's precomputed-cutoff design; no global sort anywhere).
+        from go_crawler_spark.operators.perplexity import (
+            bucket_by_thresholds,
+            lm_counts,
+            perplexity_scores,
+            score_thresholds,
+        )
+
+        docs = _t(spark, sf, "documents")
+        big, uni, vocab = lm_counts(docs.filter("doc_id % 10 < 3"), min_count=2)
+        # persisted: thresholds and the returned plan share this frame
+        scored = perplexity_scores(docs, big, uni, vocab).persist()
+        t1, t2 = score_thresholds(scored, exact=True)
+        return bucket_by_thresholds(scored, t1, t2).select(
+            "doc_id", "n_bigrams", "avg_neg_logp", "bucket"
+        )
+
     def dedup_clusters(spark, sf):
         # duplicate clusters (fingerprint -> sorted member ids, size > 1).
         # The synthetic documents table has no exact dups, so re-add every
@@ -1863,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkgraph_pagerank": linkgraph_pagerank,
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
+        "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
         # ---- driver window (50) ends here; tail is r2-green rotation ----
         "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
@@ -2435,6 +2460,65 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]')) AS n_atoms
             FROM documents
+        """,
+        "ccnet_perplexity_buckets": f"""
+            -- CCNet LM bucketing replica: add-one bigram LM over the
+            -- doc_id % 10 < 3 reference slice, min_count 2; per-token
+            -- logp = ln(int) - ln(int) rounded to 9 dp into
+            -- DECIMAL(38,9) (exact sum), mean rounded to 6 dp; buckets
+            -- at exact 1/3 and 2/3 percentiles (quantile_cont ==
+            -- Spark's percentile: both R-7 linear interpolation)
+            WITH reft AS (
+              SELECT {toks_norm} AS t FROM documents WHERE doc_id % 10 < 3
+            ),
+            uni AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(t) AS w1 FROM reft)
+              WHERE w1 <> '' GROUP BY w1
+            ),
+            vs AS (SELECT count(*) AS v FROM uni),
+            big AS (
+              SELECT w1, w2, count(*) AS c2 FROM (
+                SELECT t[i] AS w1, t[i+1] AS w2
+                FROM reft,
+                     unnest(generate_series(1, greatest(len(t)-1, 0))) AS u(i)
+              ) WHERE w1 <> '' AND w2 <> ''
+              GROUP BY w1, w2 HAVING count(*) >= 2
+            ),
+            pairs AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM (
+                SELECT doc_id, {toks_norm} AS t FROM documents
+              ), unnest(generate_series(1, greatest(len(t)-1, 0))) AS u(i)
+              WHERE t[i] <> '' AND t[i+1] <> ''
+            ),
+            tok AS (
+              SELECT p.doc_id,
+                     CAST(round(ln(COALESCE(b.c2, 0) + 1)
+                                - ln(COALESCE(u.c1, 0)
+                                     + (SELECT v FROM vs) + 1), 9)
+                          AS DECIMAL(38,9)) AS logp
+              FROM pairs p
+              LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+              LEFT JOIN uni u ON p.w1 = u.w1
+            ),
+            perdoc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     round(-CAST(sum(logp) AS DOUBLE) / count(*), 6)
+                       AS avg_neg_logp
+              FROM tok GROUP BY doc_id
+            ),
+            th AS (
+              SELECT round(quantile_cont(avg_neg_logp, 1.0/3), 6) AS t1,
+                     round(quantile_cont(avg_neg_logp, 2.0/3), 6) AS t2
+              FROM perdoc
+            )
+            SELECT doc_id, n_bigrams, avg_neg_logp,
+                   CASE WHEN avg_neg_logp <= (SELECT t1 FROM th)
+                          THEN 'head'
+                        WHEN avg_neg_logp <= (SELECT t2 FROM th)
+                          THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM perdoc
         """,
         "dedup_clusters": f"""
             WITH corpus AS (

@@ -386,6 +386,31 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "text#"),
     )
 
+    # CCNet perplexity scoring: count tables broadcast (never sort-merge),
+    # the whole pipeline stays JVM-side, and the document text never
+    # enters an exchange — only tokens and (doc_id, logp) rows shuffle
+    from go_crawler_spark.operators.perplexity import (
+        lm_counts,
+        perplexity_scores,
+    )
+
+    ppl_big, ppl_uni, ppl_v = lm_counts(
+        docs.filter("doc_id % 10 < 3"), min_count=2
+    )
+    ppl_scored = perplexity_scores(docs, ppl_big, ppl_uni, ppl_v)
+    audit(
+        "ccnet_perplexity (broadcast count joins, all-JVM)",
+        ppl_scored,
+        {"BroadcastHashJoin": True, "SortMergeJoin": False,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "ccnet_perplexity (text never shuffles)",
+        ppl_scored,
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
