@@ -328,6 +328,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "tfidf_top_terms",
         "dup_ngram_spans",
         "corpus_release",
+        "ccnet_perplexity_buckets",
     ]
     times: dict[str, float] = {}
     for name in names:
