@@ -702,6 +702,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bigrams", "avg_neg_logp", "bucket"
         )
 
+    def training_order_shards(spark, sf):
+        # FineWeb-style deterministic training-order shuffle: md5(seed:id)
+        # assigns 16 shards (first hex char) and a dense pseudorandom
+        # position within each; per-shard window sort, no global sort.
+        from go_crawler_spark.operators.corpus_prep import training_order
+
+        docs = _t(spark, sf, "documents")
+        return training_order(docs.select("doc_id"), seed=7).select(
+            "doc_id", "shard", "shard_pos"
+        )
+
     def dedup_clusters(spark, sf):
         # duplicate clusters (fingerprint -> sorted member ids, size > 1).
         # The synthetic documents table has no exact dups, so re-add every
@@ -1888,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
         "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+        "training_order_shards": training_order_shards,
         # ---- driver window (50) ends here; tail is r2-green rotation ----
         "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
@@ -2460,6 +2472,28 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]')) AS n_atoms
             FROM documents
+        """,
+        "training_order_shards": """
+            -- FineWeb-style shard shuffle replica: shard = first md5 hex
+            -- char via 16-char lookup (string-only, the repo's md5-hex
+            -- protocol), position = rank of the remaining hex string
+            WITH k AS (
+              SELECT doc_id,
+                     md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                       AS shard,
+                     substr(h, 2, 31) AS hrest
+              FROM k
+            )
+            SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY hrest, doc_id) - 1
+                        AS INTEGER) AS shard_pos
+            FROM s
         """,
         "ccnet_perplexity_buckets": f"""
             -- CCNet LM bucketing replica: add-one bigram LM over the

@@ -313,3 +313,47 @@ def source_mix_weights(
         "n_tokens",
         F.round(powed / total, 6).alias("weight"),
     )
+
+
+HEX_CHARS = "0123456789abcdef"
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_chars: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic pseudorandom training order (the final step before a
+    corpus feeds a data loader — FineWeb publishes its corpus in exactly
+    this shard-shuffled layout): every row gets a ``shard`` and a dense
+    0-based ``shard_pos`` within it, both pure functions of (seed, id).
+
+    key = md5(seed || ':' || id); shard = integer value of the first
+    ``shard_chars`` hex chars (16 or 256 shards); shard_pos orders by the
+    remaining hex string. Everything is string arithmetic on the md5 hex
+    form — bit-identical across engines (the repo's established protocol:
+    compare md5-hex as strings, never via hex→int conversion wide enough
+    to overflow; here each char converts through a 16-char lookup).
+
+    100-TB shape: NO global sort. The window partitions by shard, so each
+    shard sorts independently inside its shuffle partition — pick
+    ``shard_chars`` so a shard fits one task's external-sort budget
+    (2 hex chars = 256 shards ≈ 400 GB/shard at 100 TB; real deployments
+    use more chars / a wider slice of the hash). Re-running on a grown
+    corpus preserves relative order of surviving rows within a shard —
+    the property loaders rely on for resumable epoch schedules."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = F.lit(0)
+    for i in range(shard_chars):
+        shard = shard * 16 + (
+            F.instr(F.lit(HEX_CHARS), F.substring(h, i + 1, 1)) - 1
+        )
+    rest = F.substring(h, shard_chars + 1, 32 - shard_chars)
+    w = Window.partitionBy("shard").orderBy("_hrest", id_col)
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("_hrest", rest)
+        .withColumn("shard_pos", F.row_number().over(w) - 1)
+        .drop("_hrest")
+    )

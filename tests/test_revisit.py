@@ -239,3 +239,57 @@ def test_sniff_mime_edges(spark):
     }
     for i, _, expect in rows:
         assert got[i] == expect, i
+
+
+def test_training_order_dense_and_deterministic(spark):
+    from go_crawler_spark.operators.corpus_prep import training_order
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = training_order(docs, seed=7).collect()
+    assert len(out) == 300
+    # shards in [0, 16); positions dense 0..n_k-1 within each shard
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 16
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic across runs
+    again = training_order(docs, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different seed reshuffles (some row lands elsewhere)
+    other = training_order(docs, seed=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_training_order_two_char_shards(spark):
+    from go_crawler_spark.operators.corpus_prep import training_order
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = training_order(docs, shard_chars=2, seed=1).collect()
+    assert {r["shard"] for r in out} <= set(range(256))
+    assert len({r["shard"] for r in out}) > 100  # well spread at n=400
+
+
+def test_training_order_stable_under_growth(spark):
+    # relative order of surviving rows within a shard must not change
+    # when the corpus grows — the resumable-epoch-schedule property
+    from go_crawler_spark.operators.corpus_prep import training_order
+
+    small = spark.range(0, 150).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    pos_s = {
+        (r["shard"], r["doc_id"]): r["shard_pos"]
+        for r in training_order(small, seed=3).collect()
+    }
+    pos_b = {
+        (r["shard"], r["doc_id"]): r["shard_pos"]
+        for r in training_order(big, seed=3).collect()
+    }
+    for shard in {s for s, _ in pos_s}:
+        small_order = sorted(
+            (p, d) for (s, d), p in pos_s.items() if s == shard
+        )
+        big_rank = {d: p for (s, d), p in pos_b.items() if s == shard}
+        ranks = [big_rank[d] for _, d in small_order]
+        assert ranks == sorted(ranks)
