@@ -713,6 +713,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "shard", "shard_pos"
         )
 
+    def domain_cap_select(spark, sf):
+        # FineWeb-style per-domain quota: keep the top-3 docs per
+        # registrable domain by (n_chars DESC, doc_id) — the
+        # anti-domination stage; salted two-phase top-k, so a
+        # mega-domain never lands in one task's sort
+        from go_crawler_spark.functions.urls import (
+            registrable_domain_expr,
+            surt_host_expr,
+        )
+        from go_crawler_spark.operators.corpus_prep import domain_cap
+
+        docs = (
+            _t(spark, sf, "documents")
+            .withColumn("url", _synth_url("doc_id"))
+            .withColumn(
+                "domain", registrable_domain_expr(surt_host_expr("url"))
+            )
+        )
+        kept = domain_cap(
+            docs,
+            "domain",
+            cap=3,
+            order_by=[F.desc("n_chars"), F.col("doc_id")],
+        )
+        return kept.select("doc_id", "domain", "n_chars")
+
     def dedup_clusters(spark, sf):
         # duplicate clusters (fingerprint -> sorted member ids, size > 1).
         # The synthetic documents table has no exact dups, so re-add every
@@ -1900,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
         "training_order_shards": training_order_shards,
+        "domain_cap_select": domain_cap_select,
         # ---- driver window (50) ends here; tail is r2-green rotation ----
         "bpe_token_counts": bpe_token_counts,
         "dedup_clusters": dedup_clusters,
@@ -2472,6 +2499,32 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0b\f\r]')) AS n_atoms
             FROM documents
+        """,
+        "domain_cap_select": f"""
+            -- per-registrable-domain quota replica: top-3 by
+            -- (n_chars DESC, doc_id); host/registrable derivation
+            -- mirrors url_blocklist_gate's
+            WITH u AS (SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url
+                       FROM documents),
+            h AS (SELECT doc_id, n_chars,
+                    regexp_replace(lower(string_split(string_split(
+                        regexp_extract(regexp_replace(string_split(url, '#')[1],
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*'),
+                        '@')[-1], ':')[1]), '\\.$', '') AS host
+                  FROM u),
+            r AS (SELECT doc_id, n_chars,
+                    CASE WHEN len(string_split(host, '.')) >= 2
+                         THEN string_split(host, '.')[-2] || '.'
+                              || string_split(host, '.')[-1]
+                         ELSE host END AS domain
+                  FROM h)
+            SELECT doc_id, domain, n_chars FROM (
+              SELECT doc_id, domain, n_chars,
+                     row_number() OVER (PARTITION BY domain
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rk
+              FROM r)
+            WHERE rk <= 3
         """,
         "training_order_shards": """
             -- FineWeb-style shard shuffle replica: shard = first md5 hex

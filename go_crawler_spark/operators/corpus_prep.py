@@ -357,3 +357,47 @@ def training_order(
         .withColumn("shard_pos", F.row_number().over(w) - 1)
         .drop("_hrest")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, best-first — the
+    anti-domination quota every large webtext release applies so a
+    handful of mega-domains (forums, wikis, mirrors) cannot dominate
+    the corpus (FineWeb and RefinedWeb both publish per-domain caps as
+    a top-level pipeline stage).
+
+    ``order_by`` is the best-first total order (default:
+    ``[id_col]``) — make it total (append the id) or survivors are
+    nondeterministic.
+
+    100-TB shape: the naive single window over ``domain_col`` puts an
+    entire mega-domain in ONE task's sort. This runs the same salted
+    two-phase scheme as the politeness slot assigner
+    (operators/politeness.py::assign_fetch_slots): phase 1 takes the
+    per-(domain, salt) top-``cap`` — bounding phase 2's input to
+    ``n_salts × cap`` rows per domain regardless of skew — and the salt
+    is a pure function of the row id, so the result is deterministic
+    and identical to the unsalted answer (a row in the true top-cap is
+    in the top-cap of its own salt bucket a fortiori)."""
+    order_by = list(order_by) if order_by is not None else [F.col(id_col)]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(11)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order_by)
+    return (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap)
+        .drop("_salt", "_r1", "_r2")
+    )

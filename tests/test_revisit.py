@@ -293,3 +293,42 @@ def test_training_order_stable_under_growth(spark):
         big_rank = {d: p for (s, d), p in pos_b.items() if s == shard}
         ranks = [big_rank[d] for _, d in small_order]
         assert ranks == sorted(ranks)
+
+
+def test_domain_cap_matches_unsalted_window(spark):
+    # the salted two-phase result must be IDENTICAL to the naive
+    # single-window answer (a true top-cap row is in the top-cap of
+    # its own salt bucket a fortiori)
+    from pyspark.sql import Window
+
+    from go_crawler_spark.operators.corpus_prep import domain_cap
+
+    rows = [
+        (i, f"d{i % 5}.org", (i * 37) % 100) for i in range(200)
+    ] + [(1000 + i, "mega.org", i % 7) for i in range(300)]  # skewed
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_chars int")
+    order = [F.desc("n_chars"), F.col("doc_id")]
+    got = sorted(
+        (r["domain"], r["doc_id"])
+        for r in domain_cap(df, "domain", cap=4, order_by=order).collect()
+    )
+    w = Window.partitionBy("domain").orderBy(*order)
+    want = sorted(
+        (r["domain"], r["doc_id"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 4")
+        .collect()
+    )
+    assert got == want
+    assert sum(1 for d, _ in got if d == "mega.org") == 4
+
+
+def test_domain_cap_under_cap_domains_survive_whole(spark):
+    from go_crawler_spark.operators.corpus_prep import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "a.org", 5), (2, "a.org", 9), (3, "b.org", 1)],
+        "doc_id long, domain string, n_chars int",
+    )
+    out = domain_cap(df, "domain", cap=10).collect()
+    assert len(out) == 3  # no domain exceeds the cap → nothing dropped
