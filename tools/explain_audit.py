@@ -411,6 +411,54 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "text#"),
     )
 
+    # training-order shuffle: hash-partitioned per-shard window sorts
+    # only — a rangepartitioning exchange would mean a global sort
+    from go_crawler_spark.operators.corpus_prep import (
+        domain_cap,
+        training_order,
+    )
+
+    audit(
+        "training_order (per-shard sort, never global)",
+        training_order(docs.select("doc_id"), seed=7),
+        {"rangepartitioning": False, "BatchEvalPython": False,
+         "ArrowEvalPython": False, "Window": True},
+    )
+
+    # per-domain quota: the salted two-phase must materialize as TWO
+    # window nodes (one per (domain,salt), one per domain) with no
+    # global sort and no Python eval
+    from go_crawler_spark.functions.urls import (
+        registrable_domain_expr,
+        surt_host_expr,
+    )
+
+    capped = domain_cap(
+        docs.select("doc_id", "n_chars").withColumn(
+            "domain",
+            registrable_domain_expr(
+                surt_host_expr(F.concat(F.lit("https://h"),
+                                        (F.col("doc_id") % 9).cast("string"),
+                                        F.lit(".org/p")))
+            ),
+        ),
+        "domain",
+        cap=3,
+        order_by=[F.desc("n_chars"), F.col("doc_id")],
+    )
+    audit(
+        "domain_cap (salted two-phase, no global sort)",
+        capped,
+        {"rangepartitioning": False, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "domain_cap (two window phases materialized)",
+        capped,
+        "plan contains two Window nodes",
+        lambda p: p.count(") Window") >= 2,
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
