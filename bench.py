@@ -329,6 +329,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dup_ngram_spans",
         "corpus_release",
         "ccnet_perplexity_buckets",
+        "training_order_shards",
+        "domain_cap_select",
     ]
     times: dict[str, float] = {}
     for name in names:
