@@ -1854,6 +1854,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    # ---- training-data pipeline: line-level cleaning / containment /
+    # ---- inverted index / learned-quality-gate scoring (round 5) ----
+
+    def line_dedup_filters(spark, sf):
+        # C4 line rules (Raffel et al. 2020 §2.2) + RefinedWeb corpus-wide
+        # exact-line dedup over a deterministically line-structured corpus:
+        # 8-token lines with planted terminal punctuation / brace suffixes,
+        # plus every 10th doc re-added under a shifted id so its lines are
+        # corpus-wide duplicates (keep-first retains the original, cuts
+        # every line of the copy — which then dies under min_lines).
+        from go_crawler_spark.operators.corpus_prep import token_chunks
+        from go_crawler_spark.operators.lines import line_filters
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        d = F.col("doc_id")
+        lines_arr = F.transform(
+            token_chunks(F.col("text"), 8),
+            lambda c, i: F.concat(
+                c,
+                F.when((d + i + 1) % 13 == 0, F.lit(" {"))
+                .when((d + i + 1) % 3 == 0, F.lit("."))
+                .when((d + i + 1) % 5 == 1, F.lit("!"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        structured = docs.select(
+            "doc_id", F.array_join(lines_arr, "\n").alias("text")
+        )
+        # copies carry the original's lines (all corpus-wide dups → cut by
+        # keep-first) PLUS three unique tail lines, so the copy survives
+        # min_lines and its n_dropped_dup accounting is visible in the
+        # output instead of the whole row vanishing.
+        extra = F.concat_ws(
+            "\n",
+            *[
+                F.concat(
+                    F.lit(f"extra line number {j} of copy "),
+                    F.col("doc_id").cast("string"),
+                    F.lit("."),
+                )
+                for j in (1, 2, 3)
+            ],
+        )
+        planted = structured.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("\n"), extra).alias("text"),
+        )
+        return line_filters(
+            structured.unionByName(planted), min_words=5, min_lines=3
+        )
+
+    def containment_pairs(spark, sf):
+        # directed shingle containment (Broder 1997): plant truncated
+        # copies (first half of the normalized token stream) of every 10th
+        # doc under a shifted id — the copy's 3-gram set is a SUBSET of
+        # the original's, so C(copy→orig) = 1.0 while symmetric Jaccard is
+        # ~0.5 (below every near-dup threshold: the relation jaccard_verify
+        # structurally misses). Candidates here are all pairs of a bounded
+        # slice; at corpus scale they come from the MinHash/LSH bucket
+        # join, exactly as in minhash_near_dup_pairs.
+        from go_crawler_spark.operators.dedup_corpus import (
+            containment_verify,
+        )
+
+        docs = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 60)
+            .select("doc_id", "text")
+        )
+        toks = T.tokens(T.normalize_for_fingerprint(F.col("text")))
+        half = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks, F.lit(1), F.floor(F.size(toks) / 2).cast("int")
+                ),
+            ).alias("text"),
+        )
+        corpus = docs.unionByName(half)
+        pairs = (
+            corpus.select(F.col("doc_id").alias("id_a"))
+            .join(
+                corpus.select(F.col("doc_id").alias("id_b")),
+                F.col("id_a") < F.col("id_b"),
+            )
+        )
+        return containment_verify(
+            corpus, pairs, "text", "doc_id", shingle_n=3, threshold=0.8
+        ).select(
+            "id_a", "id_b", F.round("containment", 6).alias("containment")
+        )
+
+    def inverted_index_terms(spark, sf):
+        # capped inverted index (BM25 candidate tier / vocabulary census):
+        # global ranking is fully tie-broken (term is unique) so the
+        # top-100 slice is deterministic.
+        from go_crawler_spark.operators.index import inverted_index
+
+        docs = _t(spark, sf, "documents")
+        return (
+            inverted_index(docs, postings_cap=8, min_df=2)
+            .orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
+            .limit(100)
+        )
+
+    def quality_linear_model(spark, sf):
+        # fastText-architecture quality gate: hashed-bag-of-words linear
+        # scoring, weights replayed from md5 so the oracle is exact
+        from go_crawler_spark.operators.quality import linear_quality_score
+
+        docs = _t(spark, sf, "documents")
+        return linear_quality_score(docs)
+
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # dict entries in insertion order. The dict below is the CANONICAL
     # order (a stable tie-break only); the actual insertion order handed to
@@ -1957,6 +2071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "surt_keys": surt_keys,
+        # -- new in round 5 (never-green: rotation fronts them) --
+        "line_dedup_filters": line_dedup_filters,
+        "containment_pairs": containment_pairs,
+        "inverted_index_terms": inverted_index_terms,
+        "quality_linear_model": quality_linear_model,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -3803,5 +3922,147 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": f"""
             SELECT media_id, ts_ms, lower(hex(frame_bytes)) AS frame_hex
             FROM read_parquet('{fix}/multimodal_frames.parquet')
+        """,
+        "line_dedup_filters": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN len({norm_text}) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(
+                            generate_series(1,
+                              CAST(ceil(len({toks_norm}) / 8.0) AS INT)),
+                            i -> array_to_string(
+                                   ({toks_norm})[(i-1)*8+1:(i-1)*8+8], ' ')
+                                 || CASE WHEN (doc_id + i) % 13 = 0 THEN ' {{'
+                                         WHEN (doc_id + i) % 3 = 0 THEN '.'
+                                         WHEN (doc_id + i) % 5 = 1 THEN '!'
+                                         ELSE '' END)
+                     END AS lines
+              FROM documents
+            ), texts AS (
+              SELECT doc_id, array_to_string(lines, chr(10)) AS text
+              FROM base
+            ), corpus AS (
+              SELECT doc_id, text FROM texts
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     text || chr(10)
+                          || 'extra line number 1 of copy '
+                          || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                          || 'extra line number 2 of copy '
+                          || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                          || 'extra line number 3 of copy '
+                          || CAST(doc_id AS VARCHAR) || '.' AS text
+              FROM texts WHERE doc_id % 10 = 0
+            ), ln AS (
+              SELECT doc_id,
+                     unnest(generate_series(
+                       1, len(string_split(text, chr(10))))) AS idx,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM corpus
+            ), flagged AS (
+              SELECT doc_id, idx, line,
+                     (regexp_matches(trim(line), '[.!?"]$')
+                      AND len(regexp_split_to_array(trim(line), '\\s+')) >= 5
+                      AND NOT contains(trim(line), '{{')
+                      AND NOT contains(lower(trim(line)), 'javascript'))
+                     AS ok
+              FROM ln
+            ), kept AS (
+              SELECT doc_id, idx, line FROM (
+                SELECT doc_id, idx, line,
+                       row_number() OVER (PARTITION BY trim(line)
+                                          ORDER BY doc_id, idx) AS rn
+                FROM flagged WHERE ok)
+              WHERE rn = 1
+            ), per_doc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_passed
+              FROM flagged GROUP BY doc_id
+            ), ka AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY idx) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT p.doc_id, ka.clean_text, p.n_lines, ka.n_kept,
+                   p.n_lines - p.n_passed AS n_dropped_rules,
+                   p.n_passed - ka.n_kept AS n_dropped_dup
+            FROM per_doc p JOIN ka USING (doc_id)
+            WHERE ka.n_kept >= 3
+        """,
+        "containment_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, {toks_norm} AS t FROM documents
+              WHERE doc_id < 60
+            ), corpus AS (
+              SELECT doc_id, t FROM toks
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, t[1:(len(t) // 2)] AS t
+              FROM toks WHERE doc_id % 10 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM corpus
+            )
+            SELECT id_a, id_b, round(containment, 6) AS containment FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CASE WHEN len(a.s) = 0 THEN 0.0
+                          ELSE len(list_intersect(a.s, b.s)) * 1.0
+                               / len(a.s) END AS containment
+              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+            WHERE containment >= 0.8
+        """,
+        "inverted_index_terms": f"""
+            WITH td AS (
+              SELECT doc_id, unnest({toks_norm}) AS term FROM documents
+            ), td2 AS (
+              SELECT doc_id, term FROM td WHERE length(term) > 0
+            ), ptd AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM td2 GROUP BY term, doc_id
+            ), stats AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf) AS BIGINT) AS cf
+              FROM ptd GROUP BY term
+            ), head AS (
+              SELECT term, list(doc_id ORDER BY doc_id) AS postings FROM (
+                SELECT term, doc_id,
+                       row_number() OVER (PARTITION BY term
+                                          ORDER BY doc_id) AS rn
+                FROM ptd)
+              WHERE rn <= 8 GROUP BY term
+            )
+            SELECT s.term, s.df, s.cf, h.postings
+            FROM stats s JOIN head h USING (term)
+            WHERE s.df >= 2
+            ORDER BY s.df DESC, s.cf DESC, s.term ASC
+            LIMIT 100
+        """,
+        "quality_linear_model": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     CASE WHEN length({norm_text}) = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(list_sum(list_transform({toks_norm},
+                            x -> (strpos('0123456789abcdef',
+                                         substring(md5(x), 1, 1)) - 1) * 16
+                               + (strpos('0123456789abcdef',
+                                         substring(md5(x), 2, 1)) - 1)
+                               - 128)) AS BIGINT) END AS score,
+                     CASE WHEN length({norm_text}) = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(len({toks_norm}) AS BIGINT) END
+                       AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, score, n_tokens,
+                   round(CASE WHEN n_tokens = 0 THEN 0.0
+                         ELSE score * 1.0 / n_tokens END, 6) AS mean_w,
+                   (CASE WHEN n_tokens = 0 THEN 0.0
+                         ELSE score * 1.0 / n_tokens END) > 0 AS label
+            FROM scored
         """,
     }

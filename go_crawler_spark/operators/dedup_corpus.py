@@ -310,6 +310,65 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT (Broder 1997): for each candidate pair
+    C(a→b) = |S(a) ∩ S(b)| / |S(a)| — near 1.0 when document ``a`` is a
+    (possibly truncated/quoted) sub-document of ``b`` even though their
+    symmetric Jaccard is low. This is the dedup relation Jaccard misses:
+    snippet farms, quoted articles, and pagination shards of one source
+    page contain the original without resembling it.
+
+    Same scale shape as :func:`jaccard_verify`: shingles are computed only
+    for docs appearing in a candidate pair (semi-join first, candidates ≪
+    corpus — at 100 TB candidates come from the MinHash/LSH bucket join,
+    never all-pairs), and the verify itself is all JVM built-ins
+    (array_intersect on distinct shingle arrays). Emits BOTH directions
+    of a pair when both clear the threshold (a ⊆ b and b ⊆ a means an
+    exact near-dup; downstream keep-best collapses it)."""
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("_cid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sh = (
+        ensure_cpu_parallelism(
+            df.join(pair_ids, df[id_col] == pair_ids["_cid"], "left_semi")
+        )
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.array_distinct(
+                token_ngrams(F.col(text_col), shingle_n)
+            ).alias("_sh"),
+        )
+    )
+    a = sh.select(F.col("_cid").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_cid").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    denom = F.size("_sh_a")
+    directed = pairs.select("id_a", "id_b").unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    return (
+        directed.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn(
+            "containment",
+            F.when(denom == 0, F.lit(0.0)).otherwise(inter / denom),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,

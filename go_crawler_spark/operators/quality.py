@@ -88,3 +88,79 @@ def repetition_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("distinct_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality model (fastText-style scoring)
+# ---------------------------------------------------------------------------
+
+HEX_CHARS = "0123456789abcdef"
+
+
+def _hashed_weight(tok):
+    """Deterministic integer weight in [-128, 127] for a token: the first
+    two hex chars of md5(token), decoded through a 16-char lookup (the
+    repo's established md5-hex string protocol — never a wide hex→int
+    cast) and centered. Stands in for a trained embedding row; the
+    LOOKUP SHAPE (hash token → fixed weight, no vocabulary join) is the
+    real thing production quality classifiers (fastText; the GPT-3 /
+    LLaMA quality filters built on it) run at corpus scale."""
+    h = F.md5(tok)
+    hi = F.instr(F.lit(HEX_CHARS), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(HEX_CHARS), F.substring(h, 2, 1)) - 1
+    return (hi * 16 + lo - 128).cast("long")
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with a hashed-bag-of-words linear model —
+    the fastText classifier architecture (Joulin et al. 2016) that
+    CCNet/GPT-3-style pipelines use as the learned quality gate, with
+    the trained weight table replaced by a deterministic hash-derived
+    one (see ``_hashed_weight``) so a DuckDB oracle can replay it
+    exactly.
+
+    score(doc) = Σ_tokens w(token)   (exact int64)
+    mean_w     = round(score / n_tokens, 6)   (the classifier logit)
+    label      = mean_w > 0
+
+    Scale shape: map-only — tokenization, per-token weight, and the sum
+    all run inside one JVM higher-order-function pass per row; no
+    explode, no shuffle, no Python. At 100 TB this is the cheapest class
+    of operator the engine has (pure scan + codegen), which is exactly
+    why production pipelines can afford to score EVERY crawled page."""
+    toks = tokens(normalize_for_fingerprint(F.col(text_col)))
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _hashed_weight(t),
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.when(F.length(F.concat_ws("", toks)) == 0, F.lit(0).cast("long"))
+        .otherwise(score)
+        .alias("score"),
+        F.when(F.length(F.concat_ws("", toks)) == 0, F.lit(0).cast("long"))
+        .otherwise(n.cast("long"))
+        .alias("n_tokens"),
+    ).select(
+        id_col,
+        "score",
+        "n_tokens",
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("score") / F.col("n_tokens")
+            ),
+            6,
+        ).alias("mean_w"),
+        (
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("score") / F.col("n_tokens")
+            )
+            > 0
+        ).alias("label"),
+    )

@@ -1,0 +1,180 @@
+"""Unit tests for the round-5 corpus operators: C4/RefinedWeb line
+filtering + corpus-wide exact-line dedup (operators/lines.py), directed
+shingle containment (dedup_corpus.containment_verify), the capped inverted
+index (operators/index.py), and the hashed-linear quality scorer
+(quality.linear_quality_score). The cross-engine DuckDB parity for all
+four is pinned by tests/test_queries_oracle.py; these tests pin the
+operator SEMANTICS on hand-built corpora where the expected output is
+computable by eye."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from go_crawler_spark.operators.dedup_corpus import containment_verify
+from go_crawler_spark.operators.index import inverted_index
+from go_crawler_spark.operators.lines import line_filters
+from go_crawler_spark.operators.quality import linear_quality_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = "alpha beta gamma delta epsilon."  # 5 words, terminal punct
+
+
+def test_line_rules(spark):
+    rows = [
+        (
+            1,
+            "\n".join(
+                [
+                    GOOD,  # kept
+                    "too short.",  # < 5 words
+                    "alpha beta gamma delta epsilon",  # no terminal punct
+                    "alpha beta gamma { delta epsilon.",  # brace
+                    "alpha beta JavaScript delta epsilon.",  # javascript
+                    "one two three four five six!",  # kept
+                    'quoted one two three four five."',  # kept (quote end)
+                ]
+            ),
+        ),
+    ]
+    out = line_filters(_docs(spark, rows), min_words=5, min_lines=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_lines == 7
+    assert r.n_kept == 3
+    assert r.n_dropped_rules == 4
+    assert r.n_dropped_dup == 0
+    assert r.clean_text.split("\n") == [
+        GOOD,
+        "one two three four five six!",
+        'quoted one two three four five."',
+    ]
+
+
+def test_line_min_lines_drops_doc(spark):
+    rows = [(1, GOOD + "\n" + "six seven eight nine ten.")]
+    assert (
+        line_filters(_docs(spark, rows), min_words=5, min_lines=3).count()
+        == 0
+    )
+    assert (
+        line_filters(_docs(spark, rows), min_words=5, min_lines=2).count()
+        == 1
+    )
+
+
+def test_line_dedup_keeps_first_writer(spark):
+    uniq5 = [f"unique five {i} aa bb cc dd." for i in range(3)]
+    uniq9 = [f"unique nine {i} aa bb cc dd." for i in range(3)]
+    rows = [
+        (5, "\n".join([GOOD] + uniq5)),  # doc 5: dup GOOD at idx 1
+        (9, "\n".join(uniq9) + "\n" + GOOD),  # doc 9: dup GOOD at idx 4
+        (2, "x y z.\n" + GOOD),  # doc 2 < 5 BUT its copy of GOOD is idx 2
+    ]
+    # winner of GOOD is (2, 2): lowest (doc, idx) in struct order — doc 2
+    # holds it even though doc 5 has it at an earlier index.
+    out = {
+        r["doc_id"]: r
+        for r in line_filters(
+            _docs(spark, rows), min_words=4, min_lines=1
+        ).collect()
+    }
+    assert GOOD in out[2].clean_text.split("\n")
+    assert GOOD not in out[5].clean_text.split("\n")
+    assert GOOD not in out[9].clean_text.split("\n")
+    assert out[5].n_dropped_dup == 1
+    assert out[9].n_dropped_dup == 1
+    assert out[2].n_dropped_dup == 0
+    # "x y z." has 3 words < min_words=4 → rule-dropped, not dup-dropped
+    assert out[2].n_dropped_rules == 1
+
+
+def test_line_dedup_off(spark):
+    rows = [(1, GOOD), (2, GOOD)]
+    out = line_filters(
+        _docs(spark, rows), min_words=5, min_lines=1, dedup_lines=False
+    ).collect()
+    assert len(out) == 2
+    assert all(r.clean_text == GOOD for r in out)
+
+
+def test_containment_direction(spark):
+    full = "a b c d e f g h i j k l m n o p"
+    half = "a b c d e f g h"
+    corpus = _docs(spark, [(1, full), (2, half)])
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = containment_verify(
+        corpus, pairs, "text", "doc_id", shingle_n=3, threshold=0.9
+    ).collect()
+    # half ⊆ full: C(2→1) = 1.0; C(1→2) = 6/14 < 0.9 — only one direction
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b) == (2, 1)
+    assert abs(out[0].containment - 1.0) < 1e-12
+
+
+def test_containment_mutual_for_exact_dup(spark):
+    t = "a b c d e f"
+    corpus = _docs(spark, [(1, t), (2, t)])
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = containment_verify(
+        corpus, pairs, "text", "doc_id", shingle_n=3, threshold=0.99
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in out) == [(1, 2), (2, 1)]
+
+
+def test_inverted_index_caps_and_counts(spark):
+    rows = [(i, "hot cold" if i < 12 else "cold") for i in range(15)]
+    out = {
+        r["term"]: r
+        for r in inverted_index(
+            _docs(spark, rows), postings_cap=8, min_df=2
+        ).collect()
+    }
+    assert out["hot"].df == 12
+    assert out["hot"].cf == 12
+    assert out["hot"].postings == list(range(8))  # capped, lowest ids
+    assert out["cold"].df == 15
+    assert out["cold"].postings == list(range(8))
+
+
+def test_inverted_index_min_df_and_cf(spark):
+    rows = [(1, "x x x y"), (2, "x z")]
+    out = {
+        r["term"]: r
+        for r in inverted_index(
+            _docs(spark, rows), postings_cap=8, min_df=2
+        ).collect()
+    }
+    assert list(out) == ["x"]  # y, z are singletons
+    assert out["x"].df == 2
+    assert out["x"].cf == 4  # tf 3 + tf 1
+    assert out["x"].postings == [1, 2]
+
+
+def _w(tok: str) -> int:
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return int(h[:2], 16) - 128
+
+
+def test_linear_quality_score_matches_md5(spark):
+    rows = [(1, "alpha beta beta"), (2, ""), (3, "   ")]
+    out = {
+        r["doc_id"]: r
+        for r in linear_quality_score(_docs(spark, rows)).collect()
+    }
+    exp = _w("alpha") + 2 * _w("beta")
+    assert out[1].score == exp
+    assert out[1].n_tokens == 3
+    assert abs(out[1].mean_w - round(exp / 3, 6)) < 1e-9
+    assert out[1].label == (exp > 0)
+    for d in (2, 3):
+        assert out[d].score == 0
+        assert out[d].n_tokens == 0
+        assert out[d].mean_w == 0.0
+        assert out[d].label is False
