@@ -459,6 +459,76 @@ def main() -> None:
         lambda p: p.count(") Window") >= 2,
     )
 
+    # line-level cleaning + corpus-wide line dedup: the first-writer
+    # election must be a map-side-partial min aggregate (never a window
+    # sort on the skewed line key), survivors recovered via semi-join on
+    # the unique (id, idx) coordinates; the DOCUMENT text column never
+    # enters an exchange (individual lines do, once, for reassembly)
+    from go_crawler_spark.operators.lines import line_filters
+
+    lf = line_filters(docs.select("doc_id", "text"))
+    audit(
+        "line_filters (partial-min first-writer, no window on line key)",
+        lf,
+        {"partial_min": True, "Window": False, "LeftSemi": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "line_filters (document text never shuffles)",
+        lf,
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
+    # directed containment: shingles computed only for pair members
+    # (semi-join gate), verify is JVM array_intersect — no Python eval
+    from go_crawler_spark.operators.dedup_corpus import containment_verify
+
+    small = docs.filter("doc_id < 40")
+    cpairs = (
+        small.select(F.col("doc_id").alias("id_a"))
+        .join(
+            small.select(F.col("doc_id").alias("id_b")),
+            F.col("id_a") < F.col("id_b"),
+        )
+    )
+    audit(
+        "containment_verify (semi-join shingle gate, all-JVM)",
+        containment_verify(small, cpairs, "text", "doc_id"),
+        {"LeftSemi": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+
+    # inverted index: two-phase (term, doc) counts combine map-side; the
+    # document text never enters an exchange (the explode is map-side,
+    # exchanges carry (term, id) pairs)
+    from go_crawler_spark.operators.index import inverted_index
+
+    inv = inverted_index(docs)
+    audit(
+        "inverted_index (partial counts before exchange, all-JVM)",
+        inv,
+        {"partial_count": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "inverted_index (document text never shuffles)",
+        inv,
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
+    # hashed-linear quality gate: map-only — whole plan is one codegen
+    # scan, no exchange, no Python
+    from go_crawler_spark.operators.quality import linear_quality_score
+
+    audit(
+        "linear_quality_score (map-only codegen scoring)",
+        linear_quality_score(docs),
+        {"Exchange": False, "codegen id": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
