@@ -331,6 +331,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "ccnet_perplexity_buckets",
         "training_order_shards",
         "domain_cap_select",
+        "line_dedup_filters",
+        "inverted_index_terms",
+        "quality_linear_model",
     ]
     times: dict[str, float] = {}
     for name in names:
