@@ -1960,6 +1960,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def mirror_host_pairs(spark, sf):
+        # mirror-host detection: plant a full mirror of every source host
+        # (its doc_id % 3 == 0 pages under mirror-<host>) → 20 pairs at
+        # overlap = n/(n+2) ≥ 0.7. Two 'parked page' fingerprints are
+        # planted on EVERY host plus two tiny hosts that share nothing
+        # else: without the frequent-fingerprint prune the tiny pair
+        # would score overlap 1.0 — its absence from the output is the
+        # observable proof the prune works.
+        from go_crawler_spark.operators.mirrors import mirror_hosts
+
+        docs = _t(spark, sf, "documents")
+        base = docs.select(
+            F.concat(F.col("source"), F.lit("-site.org")).alias("host"),
+            T.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        )
+        mirr = docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(
+                F.lit("mirror-"), F.col("source"), F.lit("-site.org")
+            ).alias("host"),
+            T.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        )
+        pages = base.unionByName(mirr)
+        hosts = pages.select("host").distinct().unionByName(
+            spark.createDataFrame(
+                [("tiny-a.org",), ("tiny-b.org",)], "host string"
+            )
+        )
+        parked = hosts.select(
+            "host",
+            F.explode(
+                F.array(
+                    F.md5(F.lit("parked page one")),
+                    F.md5(F.lit("parked page two")),
+                )
+            ).alias("fingerprint"),
+        )
+        return mirror_hosts(
+            pages.unionByName(parked),
+            overlap_threshold=0.7,
+            min_docs=2,
+            max_hosts_per_fp=16,
+        ).select(
+            "host_a",
+            "host_b",
+            "shared",
+            "size_a",
+            "size_b",
+            F.round("overlap", 6).alias("overlap"),
+        )
+
     def quality_linear_model(spark, sf):
         # fastText-architecture quality gate: hashed-bag-of-words linear
         # scoring, weights replayed from md5 so the oracle is exact
@@ -2076,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": containment_pairs,
         "inverted_index_terms": inverted_index_terms,
         "quality_linear_model": quality_linear_model,
+        "mirror_host_pairs": mirror_host_pairs,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4064,5 +4115,47 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN n_tokens = 0 THEN 0.0
                          ELSE score * 1.0 / n_tokens END) > 0 AS label
             FROM scored
+        """,
+        "mirror_host_pairs": f"""
+            WITH hosts AS (
+              SELECT source || '-site.org' AS host,
+                     md5({norm_text}) AS fp
+              FROM documents
+              UNION ALL
+              SELECT 'mirror-' || source || '-site.org' AS host,
+                     md5({norm_text}) AS fp
+              FROM documents WHERE doc_id % 3 = 0
+            ), parked AS (
+              SELECT h.host, md5(v.p) AS fp
+              FROM (SELECT DISTINCT host FROM hosts
+                    UNION ALL SELECT 'tiny-a.org'
+                    UNION ALL SELECT 'tiny-b.org') h,
+                   (VALUES ('parked page one'), ('parked page two')) v(p)
+            ), hf AS (
+              SELECT DISTINCT host, fp FROM (
+                SELECT host, fp FROM hosts
+                UNION ALL SELECT host, fp FROM parked)
+            ), rare AS (
+              SELECT fp FROM hf GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 16
+            ), paired AS (
+              SELECT hf.host, hf.fp FROM hf SEMI JOIN rare USING (fp)
+            ), sizes AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS sz
+              FROM hf GROUP BY host HAVING count(*) >= 2
+            ), shr AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM paired a JOIN paired b
+                ON a.fp = b.fp AND a.host < b.host
+              GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, shared, sa.sz AS size_a,
+                   sb.sz AS size_b,
+                   round(shared * 1.0 / least(sa.sz, sb.sz), 6) AS overlap
+            FROM shr
+            JOIN sizes sa ON host_a = sa.host
+            JOIN sizes sb ON host_b = sb.host
+            WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.7
         """,
     }

@@ -178,3 +178,64 @@ def test_linear_quality_score_matches_md5(spark):
         assert out[d].n_tokens == 0
         assert out[d].mean_w == 0.0
         assert out[d].label is False
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection
+# ---------------------------------------------------------------------------
+
+
+def _pages(spark, rows):
+    from go_crawler_spark.operators.mirrors import mirror_hosts  # noqa: F401
+
+    return spark.createDataFrame(rows, "host string, fingerprint string")
+
+
+def test_mirror_hosts_detects_full_mirror(spark):
+    from go_crawler_spark.operators.mirrors import mirror_hosts
+
+    rows = [("big.org", f"f{i}") for i in range(10)]
+    rows += [("copy.org", f"f{i}") for i in range(5)]  # half-size full mirror
+    rows += [("other.org", "g1"), ("other.org", "g2")]
+    out = mirror_hosts(_pages(spark, rows), overlap_threshold=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # host_a < host_b in string order
+    assert (r.host_a, r.host_b) == ("big.org", "copy.org")
+    assert r.shared == 5 and r.size_a == 10 and r.size_b == 5
+    assert abs(r.overlap - 1.0) < 1e-12
+
+
+def test_mirror_hosts_prunes_ubiquitous_fingerprint(spark):
+    from go_crawler_spark.operators.mirrors import mirror_hosts
+
+    # 'parked' fp on every host; tiny pair shares ONLY parked content
+    hosts = [f"h{i}.org" for i in range(6)] + ["tiny-a.org", "tiny-b.org"]
+    rows = [(h, "parked") for h in hosts]
+    rows += [(h, f"own-{h}") for h in hosts]  # min_docs satisfied
+    out = mirror_hosts(
+        _pages(spark, rows),
+        overlap_threshold=0.5,
+        min_docs=2,
+        max_hosts_per_fp=4,
+    ).collect()
+    assert out == []  # the parked fp (8 hosts > cap 4) never pairs anyone
+    # with a higher cap the parked fp pairs EVERY host pair
+    out2 = mirror_hosts(
+        _pages(spark, rows),
+        overlap_threshold=0.5,
+        min_docs=2,
+        max_hosts_per_fp=64,
+    ).collect()
+    assert len(out2) == len(hosts) * (len(hosts) - 1) // 2
+
+
+def test_mirror_hosts_min_docs(spark):
+    from go_crawler_spark.operators.mirrors import mirror_hosts
+
+    rows = [("a.org", "x"), ("b.org", "x"), ("b.org", "y")]
+    # a.org has 1 distinct fp < min_docs=2 → no pair
+    assert (
+        mirror_hosts(_pages(spark, rows), overlap_threshold=0.5).collect()
+        == []
+    )

@@ -529,6 +529,21 @@ def main() -> None:
          "BatchEvalPython": False, "ArrowEvalPython": False},
     )
 
+    # mirror-host detection: all-JVM, fingerprint-keyed candidate join
+    # gated by the frequent-fp semi-join, partial counts before exchanges
+    from go_crawler_spark.operators.mirrors import mirror_hosts
+
+    mh_pages = docs.select(
+        (F.col("doc_id") % 9).cast("string").alias("host"),
+        F.md5("text").alias("fingerprint"),
+    )
+    audit(
+        "mirror_hosts (fp-keyed pairing, frequent-fp prune, all-JVM)",
+        mirror_hosts(mh_pages),
+        {"LeftSemi": True, "partial_count": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
