@@ -1960,6 +1960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def bpe_learn_merges(spark, sf):
+        # BPE merge TRAINING (Sennrich 2016) — the tokenizer-induction
+        # job itself: one corpus pass for the word census, then 12 rounds
+        # of distributed pair counting + JVM-fold merge rewriting.
+        # Oracle: committed fixture from an independent pure-Python BPE
+        # (tools/gen_fixtures.py::gen_bpe_merges).
+        from go_crawler_spark.operators.bpe import learn_bpe_merges
+
+        docs = _t(spark, sf, "documents")
+        return learn_bpe_merges(docs, n_merges=12)
+
     def mirror_host_pairs(spark, sf):
         # mirror-host detection: plant a full mirror of every source host
         # (its doc_id % 3 == 0 pages under mirror-<host>) → 20 pairs at
@@ -2127,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_terms": inverted_index_terms,
         "quality_linear_model": quality_linear_model,
         "mirror_host_pairs": mirror_host_pairs,
+        "bpe_learn_merges": bpe_learn_merges,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4157,5 +4169,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON host_a = sa.host
             JOIN sizes sb ON host_b = sb.host
             WHERE shared * 1.0 / least(sa.sz, sb.sz) >= 0.7
+        """,
+        "bpe_learn_merges": f"""
+            SELECT step, "left", "right", merged, pair_count
+            FROM read_parquet('{fix}/bpe_merges.parquet')
+            WHERE sf = {sf_key}
         """,
     }

@@ -239,3 +239,53 @@ def test_mirror_hosts_min_docs(spark):
         mirror_hosts(_pages(spark, rows), overlap_threshold=0.5).collect()
         == []
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learns_expected_merges(spark):
+    from go_crawler_spark.operators.bpe import learn_bpe_merges
+
+    # 'abab' x3 + 'ab' x2: pairs (a,b)=8, (b,a)=3 → merge 1 = ab(8);
+    # then (ab,ab)=3 beats nothing else → merge 2 = abab(3)
+    rows = [(1, "abab abab abab ab ab")]
+    out = learn_bpe_merges(_docs(spark, rows), n_merges=2).collect()
+    assert [(r.step, r.left, r.right, r.merged, r.pair_count) for r in out] == [
+        (1, "a", "b", "ab", 8),
+        (2, "ab", "ab", "abab", 3),
+    ]
+
+
+def test_bpe_greedy_nonoverlapping_merge(spark):
+    from go_crawler_spark.operators.bpe import learn_bpe_merges
+
+    # 'aaa': overlapping pair count (a,a)=2 per word; greedy rewrite gives
+    # [aa, a] so step 2's top pair is (aa, a)
+    rows = [(1, "aaa aaa aaa")]
+    out = learn_bpe_merges(_docs(spark, rows), n_merges=2).collect()
+    assert [(r.step, r.merged, r.pair_count) for r in out] == [
+        (1, "aa", 6),
+        (2, "aaa", 3),
+    ]
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    from go_crawler_spark.operators.bpe import learn_bpe_merges
+
+    rows = [(1, "ab ab")]
+    out = learn_bpe_merges(_docs(spark, rows), n_merges=10).collect()
+    # one merge exhausts every adjacent pair → early stop
+    assert len(out) == 1
+    assert out[0].merged == "ab"
+
+
+def test_bpe_tie_break_deterministic(spark):
+    from go_crawler_spark.operators.bpe import learn_bpe_merges
+
+    # (x,y) and (p,q) both count 2 → lexicographically smaller left wins
+    rows = [(1, "xy xy pq pq")]
+    out = learn_bpe_merges(_docs(spark, rows), n_merges=1).collect()
+    assert (out[0].left, out[0].right) == ("p", "q")

@@ -544,6 +544,25 @@ def main() -> None:
          "BatchEvalPython": False, "ArrowEvalPython": False},
     )
 
+    # BPE training inner loop: the pair-count stage (the one shuffle per
+    # merge round) must combine map-side and stay all-JVM; the word
+    # census is the ONLY stage that reads document text
+    from go_crawler_spark.operators.bpe import _pair_counts, word_census
+
+    bpe_vocab = word_census(docs)
+    audit(
+        "bpe_pair_counts (map-side partial sum per merge round, all-JVM)",
+        _pair_counts(bpe_vocab),
+        {"partial_sum": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "bpe_pair_counts (document text never shuffles)",
+        _pair_counts(bpe_vocab),
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",

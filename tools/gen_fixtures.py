@@ -780,6 +780,56 @@ def gen_canonical_pages() -> None:
     )
 
 
+def gen_bpe_merges(n_merges: int = 12) -> None:
+    """Independent pure-Python replica of
+    operators/bpe.py::learn_bpe_merges (Sennrich et al. 2016): word
+    census over the normalized token stream, then n_merges rounds of
+    (overlapping) weighted pair counting + greedy left-to-right
+    non-overlapping replacement. Ties broken (count DESC, left ASC,
+    right ASC) — the same total order the Spark argmax uses."""
+    rows = []
+    for sf in SFS:
+        vocab: dict[str, int] = {}
+        for _doc_id, text in load_documents(sf):
+            for w in ws_tokens(normalize_for_fingerprint(text)):
+                if w:
+                    vocab[w] = vocab.get(w, 0) + 1
+        sym = {w: list(w) for w in vocab}
+        for step in range(1, n_merges + 1):
+            stats: dict[tuple[str, str], int] = {}
+            for w, c in vocab.items():
+                s = sym[w]
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    stats[p] = stats.get(p, 0) + c
+            if not stats:
+                break
+            (left, right), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            rows.append(
+                dict(step=step, left=left, right=right,
+                     merged=left + right, pair_count=cnt, sf=sf)
+            )
+            for w, s in sym.items():
+                out: list[str] = []
+                for t in s:
+                    if out and out[-1] == left and t == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(t)
+                sym[w] = out
+    write(
+        "bpe_merges",
+        rows,
+        pa.schema(
+            [("step", pa.int32()), ("left", pa.string()),
+             ("right", pa.string()), ("merged", pa.string()),
+             ("pair_count", pa.int64()), ("sf", pa.string())]
+        ),
+    )
+
+
 def main() -> None:
     os.makedirs(FIXTURES, exist_ok=True)
     gen_cms_host_counts()
@@ -799,6 +849,7 @@ def main() -> None:
     gen_robots_rules()
     gen_redirect_edges()
     gen_canonical_pages()
+    gen_bpe_merges()
 
 
 if __name__ == "__main__":
