@@ -334,6 +334,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "line_dedup_filters",
         "inverted_index_terms",
         "quality_linear_model",
+        "mirror_host_pairs",
+        "bpe_learn_merges",
     ]
     times: dict[str, float] = {}
     for name in names:
