@@ -289,3 +289,139 @@ def test_bpe_tie_break_deterministic(spark):
     rows = [(1, "xy xy pq pq")]
     out = learn_bpe_merges(_docs(spark, rows), n_merges=1).collect()
     assert (out[0].left, out[0].right) == ("p", "q")
+
+
+# ---------------------------------------------------------------------------
+# randomized model-equivalence (seeded): the Spark operators must match a
+# from-scratch pure-Python model on generated corpora that exercise dup
+# collisions, skewed lines, and merge cascades harder than the hand cases
+# ---------------------------------------------------------------------------
+
+
+def _py_line_filters(docs, min_words, min_lines):
+    import re
+
+    flagged = []  # (doc, idx, line, ok)
+    for d, text in docs:
+        for i, line in enumerate(text.split("\n"), start=1):
+            t = line.strip()
+            ok = (
+                bool(re.search(r'[.!?"]$', t))
+                and len(re.split(r"\s+", t)) >= min_words
+                and "{" not in t
+                and "javascript" not in t.lower()
+            )
+            flagged.append((d, i, line, ok))
+    first = {}
+    for d, i, line, ok in flagged:
+        if ok:
+            k = line.strip()
+            if k not in first or (d, i) < first[k]:
+                first[k] = (d, i)
+    out = {}
+    for d, i, line, ok in flagged:
+        r = out.setdefault(d, {"n": 0, "p": 0, "kept": []})
+        r["n"] += 1
+        if ok:
+            r["p"] += 1
+            if first[line.strip()] == (d, i):
+                r["kept"].append((i, line))
+    rows = {}
+    for d, r in out.items():
+        kept = [l for _, l in sorted(r["kept"])]
+        if len(kept) >= min_lines:
+            rows[d] = (
+                "\n".join(kept),
+                r["n"],
+                len(kept),
+                r["n"] - r["p"],
+                r["p"] - len(kept),
+            )
+    return rows
+
+
+def test_line_filters_matches_python_model_random(spark):
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    shared = [
+        "shared line %d one two three four." % j for j in range(4)
+    ]
+    docs = []
+    for d in range(30):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            kind = rng.random()
+            if kind < 0.35:
+                lines.append(rng.choice(shared))  # cross-doc dup
+            else:
+                n = rng.randint(1, 8)
+                w = " ".join(rng.choice(vocab) for _ in range(n))
+                suf = rng.choice([".", "!", "", " {", " javascript."])
+                lines.append(w + suf)
+        docs.append((d, "\n".join(lines)))
+    exp = _py_line_filters(docs, min_words=4, min_lines=2)
+    got = {
+        r["doc_id"]: (
+            r.clean_text,
+            r.n_lines,
+            r.n_kept,
+            r.n_dropped_rules,
+            r.n_dropped_dup,
+        )
+        for r in line_filters(
+            _docs(spark, docs), min_words=4, min_lines=2
+        ).collect()
+    }
+    assert got == exp
+
+
+def _py_bpe(word_counts, n_merges):
+    sym = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        stats = {}
+        for w, c in word_counts.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + c
+        if not stats:
+            break
+        (a, b), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, cnt))
+        for w, s in sym.items():
+            o = []
+            for t in s:
+                if o and o[-1] == a and t == b:
+                    o[-1] = a + b
+                else:
+                    o.append(t)
+            sym[w] = o
+    return merges
+
+
+def test_bpe_matches_python_model_random(spark):
+    import random
+
+    from go_crawler_spark.operators.bpe import learn_bpe_merges
+
+    rng = random.Random(77)
+    # heavy repetition → deep merge cascades incl. merged-symbol pairs
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+             for _ in range(40)]
+    docs = []
+    counts: dict[str, int] = {}
+    for d in range(12):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 25))]
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        docs.append((d, " ".join(toks)))
+    exp = _py_bpe(counts, n_merges=8)
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in learn_bpe_merges(_docs(spark, docs), n_merges=8).collect()
+    ]
+    assert got == exp
