@@ -281,6 +281,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         return spark.table(qname).orderBy("doc_id")
 
+    def streaming_seen_dedup(spark, sf):
+        # third Structured Streaming face: the CUSTOM STATEFUL operator
+        # (streaming/seen_state.py, applyInPandasWithState keyed on the
+        # url-hash shard) — Q1's first-writer-wins contract over a
+        # continuous ingest. The synthetic URL table is planted with
+        # duplicate rows (every doc_id % 3 == 0 URL arrives three times);
+        # the filter must emit each URL exactly once, so the output SET
+        # equals SELECT DISTINCT url — a full value-hash oracle for a
+        # stateful streaming operator (duplicate rows are identical, so
+        # whichever copy wins first-writer, the emitted row is the same).
+        import shutil
+        import tempfile
+        import uuid
+
+        from go_crawler_spark.streaming.seen_state import (
+            streaming_seen_filter,
+        )
+
+        docs = _t(spark, sf, "documents")
+        urls = docs.select(_synth_url("doc_id").alias("url"))
+        dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+            _synth_url("doc_id").alias("url")
+        )
+        feed = urls.unionByName(dups).unionByName(dups)
+        src_dir = tempfile.mkdtemp(prefix="stream_seen_")
+        ckpt_dir = tempfile.mkdtemp(prefix="stream_sck_")
+        feed.write.mode("overwrite").parquet(src_dir)
+        st = spark.readStream.schema("url string").parquet(src_dir)
+        out = streaming_seen_filter(st, n_shards=8)
+        qname = f"stream_seen_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        return spark.table(qname).select("url")
+
     def url_trap_census(spark, sf):
         # spider-trap detection (operators/traps.py): URL-template census
         # over the synthetic frontier plus an injected calendar trap —
@@ -2139,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_linear_model": quality_linear_model,
         "mirror_host_pairs": mirror_host_pairs,
         "bpe_learn_merges": bpe_learn_merges,
+        "streaming_seen_dedup": streaming_seen_dedup,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4174,5 +4218,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT step, "left", "right", merged, pair_count
             FROM read_parquet('{fix}/bpe_merges.parquet')
             WHERE sf = {sf_key}
+        """,
+        "streaming_seen_dedup": f"""
+            SELECT DISTINCT {_SYNTH_URL_SQL} AS url FROM documents
         """,
     }
