@@ -620,6 +620,8 @@ def scaling_report(sf_dir: str) -> None:
         "| round 3 zstd | 0.796 | 0.71 | engine out-scaled box arithmetic |",
         "| round 4 (a) | 0.721 | 0.703 | engine out-scaled box arithmetic |",
         "| round 4 (b) | 0.754 | 0.976 | membw ceiling 0.05 — bus-bound window; fetch_extract phase alone scaled 0.836 |",
+        "| round 5 (a) | 0.775 | 0.493 | membw ceiling 0.184 — engine out-scaled box arithmetic 1.57× |",
+        "| round 5 (b) | 0.842 | 1.000 | membw ceiling 0.116 — **raw ≥ 0.8 BANKED** (north-rule criterion met with the memory bus at 12%) |",
         f"| round 5 (this run) | {e_clean:.3f} | {ceiling:.3f} "
         f"| membw ceiling {membw:.3f}"
         + (f" — engine out-scaled box arithmetic {e_clean / ceiling:.2f}×"
