@@ -2014,6 +2014,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return learn_bpe_merges(docs, n_merges=12)
 
+    def chunk_windows_embed(spark, sf):
+        # sliding-window chunker (embedding/RAG prep): 64-token windows
+        # every 48 tokens (16-token overlap) over the documents table.
+        # MAP-ONLY plan — tokenize → per-doc start sequence → explode →
+        # slice, zero exchanges, whole pipeline in one codegen span
+        # (operators/chunking.py; PLANS.md asserts no Exchange).
+        from go_crawler_spark.operators.chunking import chunk_windows
+
+        docs = _t(spark, sf, "documents")
+        return chunk_windows(docs, size=64, stride=48)
+
     def mirror_host_pairs(spark, sf):
         # mirror-host detection: plant a full mirror of every source host
         # (its doc_id % 3 == 0 pages under mirror-<host>) → 20 pairs at
@@ -2183,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_host_pairs": mirror_host_pairs,
         "bpe_learn_merges": bpe_learn_merges,
         "streaming_seen_dedup": streaming_seen_dedup,
+        "chunk_windows_embed": chunk_windows_embed,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4123,6 +4135,26 @@ def oracle_sql() -> dict[str, str]:
                                / len(a.s) END AS containment
               FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
             WHERE containment >= 0.8
+        """,
+        "chunk_windows_embed": f"""
+            WITH d AS (
+              SELECT doc_id, {toks_norm} AS t FROM documents
+              WHERE length({norm_text}) > 0
+            ), d2 AS (
+              SELECT doc_id, t, len(t) AS n FROM d
+            ), st AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(
+                       1, greatest(least(n - 64 + 48, n), 1), 48)) AS s
+              FROM d2
+            )
+            SELECT doc_id,
+                   CAST(((s - 1) // 48) + 1 AS INT) AS chunk_idx,
+                   CAST(s AS INT) AS start_token,
+                   CAST(least(64, n - s + 1) AS INT) AS n_tokens,
+                   array_to_string(
+                     list_slice(t, s, least(s + 63, n)), ' ') AS chunk_text
+            FROM st
         """,
         "inverted_index_terms": f"""
             WITH td AS (

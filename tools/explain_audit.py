@@ -563,6 +563,18 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "text#"),
     )
 
+    # sliding-window chunker (embedding/RAG prep): MAP-ONLY — tokenize,
+    # per-doc start sequence, explode, slice all inside one codegen span;
+    # zero exchanges, zero Python
+    from go_crawler_spark.operators.chunking import chunk_windows
+
+    audit(
+        "chunk_windows (map-only sliding windows, zero exchanges)",
+        chunk_windows(docs, size=64, stride=48),
+        {"Exchange": False, "codegen id": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
