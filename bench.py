@@ -336,6 +336,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "quality_linear_model",
         "mirror_host_pairs",
         "bpe_learn_merges",
+        "chunk_windows_embed",
     ]
     times: dict[str, float] = {}
     for name in names:
@@ -401,6 +402,18 @@ def bench_once(cpus: int, sf_dir: str) -> dict:
     total = round(
         fr["sec"] + crawl["sec"] + crawl_bloom["sec"] + sum(qtimes.values()), 3
     )
+    # box-phase annotation: this sandbox's shared memory bus swings by
+    # >10x between sessions (BENCH/BASELINE.md evidence table — e.g.
+    # memory-stream ceiling 0.98 one session, 0.05/0.11 another), which
+    # moves the bytes-heavy crawl benches by several x at identical code.
+    # Stamping both hardware ceilings into the result makes every bench
+    # row self-describing: a slow total with a collapsed membw ceiling is
+    # a box phase, not a regression. Probes run AFTER the timed work so
+    # they can never contend with it.
+    box = {
+        "cpu_ceiling_2_8": round(measure_cpu_ceiling(2, 8), 3),
+        "membw_ceiling_2_8": round(measure_membw_ceiling(2, 8), 3),
+    }
     queries = {
         "frontier_round": round(fr["sec"], 3),
         "crawl_flagship": round(crawl["sec"], 3),
@@ -414,6 +427,7 @@ def bench_once(cpus: int, sf_dir: str) -> dict:
         "queries": queries,
         "sf": os.path.basename(sf_dir.rstrip("/")).replace("sf", ""),
         "cpus": cpus,
+        "box": box,
         "frontier_round": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in fr.items()},
         "crawl": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in crawl.items()},
         "crawl_bloom": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in crawl_bloom.items()},
