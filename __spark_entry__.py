@@ -2014,6 +2014,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return learn_bpe_merges(docs, n_merges=12)
 
+    def bpe_encode_corpus(spark, sf):
+        # BPE ENCODE with the trained merge table (the other half of the
+        # tokenizer story): learn 12 merges, then bill every document's
+        # token stream against the per-distinct-word piece counts — the
+        # merge application runs once per distinct word, the join back
+        # carries (word, int) pairs only. Oracle: committed fixture from
+        # the pure-Python replica (tools/gen_fixtures.py::gen_bpe_encode).
+        from go_crawler_spark.operators.bpe import (
+            bpe_encode_docs,
+            learn_bpe_merges,
+        )
+
+        docs = _t(spark, sf, "documents")
+        merges = learn_bpe_merges(docs, n_merges=12)
+        return bpe_encode_docs(docs, merges)
+
     def chunk_windows_embed(spark, sf):
         # sliding-window chunker (embedding/RAG prep): 64-token windows
         # every 48 tokens (16-token overlap) over the documents table.
@@ -2195,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": bpe_learn_merges,
         "streaming_seen_dedup": streaming_seen_dedup,
         "chunk_windows_embed": chunk_windows_embed,
+        "bpe_encode_corpus": bpe_encode_corpus,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4253,5 +4270,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_seen_dedup": f"""
             SELECT DISTINCT {_SYNTH_URL_SQL} AS url FROM documents
+        """,
+        "bpe_encode_corpus": f"""
+            SELECT doc_id, n_words, n_pieces
+            FROM read_parquet('{fix}/bpe_encode.parquet')
+            WHERE sf = {sf_key}
         """,
     }

@@ -337,6 +337,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "mirror_host_pairs",
         "bpe_learn_merges",
         "chunk_windows_embed",
+        "bpe_encode_corpus",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -36,12 +36,18 @@ The independent oracle is a pure-Python replica (tools/gen_fixtures.py,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
+from pyspark.sql import Column, DataFrame, functions as F
 
 from go_crawler_spark.functions.text import normalize_for_fingerprint, tokens
 from go_crawler_spark.operators.sequence import unpersist_local_checkpoint
 
-__all__ = ["word_census", "learn_bpe_merges"]
+__all__ = [
+    "word_census",
+    "learn_bpe_merges",
+    "encode_words",
+    "bpe_encode_docs",
+]
 
 
 def word_census(
@@ -88,12 +94,12 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+def _merge_fold(symbols: Column, left: str, right: str) -> Column:
     """Greedy left-to-right non-overlapping replacement of (left, right)
     with the concatenated symbol — a JVM fold, no Python, no join."""
     a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
-    merged = F.aggregate(
-        F.col("symbols"),
+    return F.aggregate(
+        symbols,
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
             (F.size(acc) > 0)
@@ -104,7 +110,12 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(s))),
     )
-    return vocab.select("word", "count", merged.alias("symbols"))
+
+
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    return vocab.select(
+        "word", "count", _merge_fold(F.col("symbols"), left, right).alias("symbols")
+    )
 
 
 def learn_bpe_merges(
@@ -148,4 +159,131 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         rows, "step int, left string, right string, merged string,"
         " pair_count long"
+    )
+
+
+def encode_words(
+    words: DataFrame,
+    merges: "list[tuple[str, str]]",
+    word_col: str = "word",
+    jvm_max_merges: int = 64,
+) -> DataFrame:
+    """Encode each (distinct) word in ``words[word_col]`` with a trained
+    merge list (rank order = list order). Returns ``(word_col, pieces)``.
+
+    Application rule: each merge is a greedy left-to-right non-overlapping
+    pass, merges applied in rank order. For a merge list PRODUCED BY BPE
+    TRAINING this is equivalent to the classic iterative lowest-rank-pair
+    algorithm: rule r's components are each atomic or the output of a rule
+    with rank < r, so once rule e's pass has run, no later merge can create
+    a fresh (left_e, right_e) adjacency — a later rule's output symbol did
+    not exist when rule e was learned and therefore cannot be one of its
+    components. (A hand-written, non-training-order merge list can violate
+    the precondition; this operator documents and assumes trained input.)
+
+    Physical path by merge-table size:
+
+    - ``len(merges) <= jvm_max_merges``: a CHAIN of JVM ``aggregate`` folds
+      (one per merge) in a single map-only projection — no Python, no
+      shuffle, the same fold the trainer uses.
+    - larger tables (a real tokenizer ships 30k+ merges — a 30k-deep
+      expression chain would break codegen): ONE Arrow pandas UDF applying
+      the classic rank-dict algorithm per word; the rank dict ships once
+      per executor in the task closure (bounded artifact, a few MB).
+
+    Both paths are model-equivalence-tested against each other and a pure
+    Python replica.
+    """
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.col(word_col).substr(i, F.lit(1)),
+    )
+    if len(merges) <= jvm_max_merges:
+        sym = chars
+        for left, right in merges:
+            sym = _merge_fold(sym, left, right)
+        return words.select(word_col, sym.alias("pieces"))
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf(ArrayType(StringType()))
+    def _encode(col: pd.Series) -> pd.Series:
+        def enc(word: str) -> list[str]:
+            sym = list(word)
+            while len(sym) >= 2:
+                best_rank, best = None, None
+                for i in range(len(sym) - 1):
+                    r = ranks.get((sym[i], sym[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best = r, (sym[i], sym[i + 1])
+                if best is None:
+                    break
+                a, b = best
+                out: list[str] = []
+                i = 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return sym
+
+        return col.map(enc)
+
+    return words.select(word_col, _encode(F.col(word_col)).alias("pieces"))
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: "DataFrame | list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained BPE merge table. Returns one row
+    per document: ``(id_col, n_words, n_pieces)`` — whitespace-word count
+    and the total subword-piece count under the merges (the number a
+    training-data pipeline bills against a token budget).
+
+    Scale shape: the expensive step (merge application) runs once per
+    DISTINCT word (the same census trick the trainer uses — ~10^9 rows at
+    100 TB, not 10^13 token occurrences); the token stream then joins the
+    per-word piece COUNT (an int, never the piece array) back on the word
+    key and aggregates per document with map-side partials. Document text
+    never shuffles; the word-level exchanges carry (word, int) pairs.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("step").collect()  # bounded artifact
+        ]
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                tokens(normalize_for_fingerprint(F.col(text_col)))
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    # per-(doc, word) occurrence counts first: the join + doc aggregation
+    # then move one row per distinct (doc, word), not per occurrence
+    per_dw = toks.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    encoded = encode_words(
+        per_dw.select("word").distinct(), merges
+    ).select("word", F.size("pieces").alias("_np"))
+    return (
+        per_dw.join(encoded.hint("shuffle_hash"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("long").alias("n_words"),
+            F.sum(F.col("occ") * F.col("_np")).cast("long").alias("n_pieces"),
+        )
     )

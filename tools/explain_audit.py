@@ -563,6 +563,26 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "text#"),
     )
 
+    # BPE encode: with a bounded merge table the whole encode is JVM fold
+    # chains over the distinct-word census (no Python anywhere); the join
+    # back to the token stream carries (word, int) pairs and the per-doc
+    # sums combine map-side; document text never enters an exchange
+    from go_crawler_spark.operators.bpe import bpe_encode_docs
+
+    enc = bpe_encode_docs(docs, [("t", "h"), ("th", "e"), ("a", "n")])
+    audit(
+        "bpe_encode (JVM fold encode per distinct word, count-only join)",
+        enc,
+        {"partial_sum": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "bpe_encode (document text never shuffles)",
+        enc,
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
     # sliding-window chunker (embedding/RAG prep): MAP-ONLY — tokenize,
     # per-doc start sequence, explode, slice all inside one codegen span;
     # zero exchanges, zero Python

@@ -830,6 +830,65 @@ def gen_bpe_merges(n_merges: int = 12) -> None:
     )
 
 
+def gen_bpe_encode(n_merges: int = 12) -> None:
+    """Independent replica of operators/bpe.py::bpe_encode_docs over the
+    merges gen_bpe_merges learns: re-run the training loop (merges applied
+    to the word census in rank order — after the last round ``sym[w]`` IS
+    w's encoding under the learned table, the same sequential-rank rule
+    the engine's encoder applies), then bill each document's token stream
+    against the per-word piece counts."""
+    rows = []
+    for sf in SFS:
+        docs = load_documents(sf)
+        vocab: dict[str, int] = {}
+        doc_words: list[tuple[int, list[str]]] = []
+        for doc_id, text in docs:
+            ws = [w for w in ws_tokens(normalize_for_fingerprint(text)) if w]
+            doc_words.append((doc_id, ws))
+            for w in ws:
+                vocab[w] = vocab.get(w, 0) + 1
+        sym = {w: list(w) for w in vocab}
+        for _step in range(n_merges):
+            stats: dict[tuple[str, str], int] = {}
+            for w, c in vocab.items():
+                s = sym[w]
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    stats[p] = stats.get(p, 0) + c
+            if not stats:
+                break
+            (left, right), _cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            for w, s in sym.items():
+                out: list[str] = []
+                for t in s:
+                    if out and out[-1] == left and t == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(t)
+                sym[w] = out
+        for doc_id, ws in doc_words:
+            if not ws:
+                continue
+            rows.append(
+                dict(
+                    doc_id=doc_id,
+                    n_words=len(ws),
+                    n_pieces=sum(len(sym[w]) for w in ws),
+                    sf=sf,
+                )
+            )
+    write(
+        "bpe_encode",
+        rows,
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_words", pa.int64()),
+             ("n_pieces", pa.int64()), ("sf", pa.string())]
+        ),
+    )
+
+
 def main() -> None:
     os.makedirs(FIXTURES, exist_ok=True)
     gen_cms_host_counts()
@@ -850,6 +909,7 @@ def main() -> None:
     gen_redirect_edges()
     gen_canonical_pages()
     gen_bpe_merges()
+    gen_bpe_encode()
 
 
 if __name__ == "__main__":
