@@ -2014,6 +2014,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return learn_bpe_merges(docs, n_merges=12)
 
+    def gopher_rules_gate(spark, sf):
+        # the published Gopher/MassiveText document-quality rule set
+        # (Rae et al. 2021, A1.1) — per-rule measured values + combined
+        # verdict, map-only JVM (operators/gopher.py; PLANS.md asserts
+        # zero exchanges). The synthetic vocabulary rarely carries two of
+        # the eight required stop words, so every third document gets a
+        # stopword-bearing sentence appended — the output then mixes
+        # keep=true (planted docs long enough) with every failure mode the
+        # raw corpus produces, making the verdict column a real oracle
+        # target rather than a constant.
+        from go_crawler_spark.operators.gopher import gopher_quality_gate
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" and that should be kept with the rest of it"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return gopher_quality_gate(docs)
+
     def bpe_encode_corpus(spark, sf):
         # BPE ENCODE with the trained merge table (the other half of the
         # tokenizer story): learn 12 merges, then bill every document's
@@ -2212,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seen_dedup": streaming_seen_dedup,
         "chunk_windows_embed": chunk_windows_embed,
         "bpe_encode_corpus": bpe_encode_corpus,
+        "gopher_rules_gate": gopher_rules_gate,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4275,5 +4300,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_pieces
             FROM read_parquet('{fix}/bpe_encode.parquet')
             WHERE sf = {sf_key}
+        """,
+        "gopher_rules_gate": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text ||
+                       ' and that should be kept with the rest of it'
+                     ELSE text END AS text
+              FROM documents
+            ), base AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       w -> length(w) > 0) AS words,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                                      l -> trim(l)),
+                       l -> length(l) > 0) AS lines
+              FROM planted
+            ), m AS (
+              SELECT doc_id,
+                     len(words) AS nw,
+                     list_sum(list_transform(words, w -> length(w))) AS wc,
+                     (length(text) - length(replace(text, '#', '')))
+                     + CAST((length(text)
+                             - length(replace(text, '...', ''))) / 3
+                            AS BIGINT) AS nsym,
+                     len(lines) AS nl,
+                     len(list_filter(lines,
+                         l -> left(l, 2) = '- ' OR left(l, 2) = '* '
+                              OR left(l, 1) = '•')) AS nbul,
+                     len(list_filter(lines,
+                         l -> right(l, 3) = '...'
+                              OR right(l, 1) = '…')) AS nell,
+                     len(list_filter(words,
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+                     (CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'be') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'that') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'have') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(list_transform(words,
+                        w -> lower(w)), 'with') THEN 1 ELSE 0 END
+                     ) AS nreq
+              FROM base
+            ), r AS (
+              SELECT doc_id,
+                     CAST(nw AS BIGINT) AS n_words,
+                     round(wc * 1.0 / greatest(nw, 1), 6) AS mean_word_len,
+                     round(nsym * 1.0 / greatest(nw, 1), 6) AS symbol_ratio,
+                     round(nbul * 1.0 / greatest(nl, 1), 6) AS bullet_frac,
+                     round(nell * 1.0 / greatest(nl, 1), 6) AS ellipsis_frac,
+                     round(nalpha * 1.0 / greatest(nw, 1), 6)
+                       AS alpha_word_frac,
+                     CAST(nreq AS INT) AS n_req_stopwords
+              FROM m
+            )
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio < 0.1
+                    AND bullet_frac < 0.9
+                    AND ellipsis_frac < 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_req_stopwords >= 2) AS keep
+            FROM r
         """,
     }

@@ -338,6 +338,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "bpe_learn_merges",
         "chunk_windows_embed",
         "bpe_encode_corpus",
+        "gopher_rules_gate",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -563,6 +563,18 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "text#"),
     )
 
+    # Gopher rule gate: per-row splits/higher-order aggregates/regexp
+    # predicates only — one codegen span over the scan, zero exchanges,
+    # zero Python
+    from go_crawler_spark.operators.gopher import gopher_quality_gate
+
+    audit(
+        "gopher_rules (map-only rule metrics, zero exchanges)",
+        gopher_quality_gate(docs),
+        {"Exchange": False, "codegen id": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
     # BPE encode: with a bounded merge table the whole encode is JVM fold
     # chains over the distinct-word census (no Python anywhere); the join
     # back to the token stream carries (word, int) pairs and the per-doc
