@@ -2014,6 +2014,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return learn_bpe_merges(docs, n_merges=12)
 
+    def bm25_topk_docs(spark, sf):
+        # BM25 retrieval (Lucene-form idf) over the token stream — the
+        # candidate tier ahead of embedding rerank. Query-term filter is
+        # pushed into the explode, censuses are bounded driver aggregates
+        # re-entering as literals, top-n is TakeOrdered. Cross-engine
+        # float protocol: 9-dp decimal contributions, exact sum, 6-dp
+        # final round.
+        from go_crawler_spark.operators.index import bm25_topk
+
+        docs = _t(spark, sf, "documents")
+        return bm25_topk(
+            docs, ["spark", "join", "window", "stream"], top_n=50
+        )
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2237,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows_embed": chunk_windows_embed,
         "bpe_encode_corpus": bpe_encode_corpus,
         "gopher_rules_gate": gopher_rules_gate,
+        "bm25_topk_docs": bm25_topk_docs,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4300,6 +4315,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_pieces
             FROM read_parquet('{fix}/bpe_encode.parquet')
             WHERE sf = {sf_key}
+        """,
+        "bm25_topk_docs": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter({toks_norm}, w -> length(w) > 0) AS t
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, len(t) AS dl, t FROM d WHERE len(t) > 0
+            ), g AS (
+              SELECT count(*) AS n, sum(dl) AS total FROM dl
+            ), hits AS (
+              SELECT doc_id, dl, unnest(t) AS term FROM dl
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+              FROM hits
+              WHERE term IN ('spark', 'join', 'window', 'stream')
+              GROUP BY doc_id, term
+            ), dfs AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), idf AS (
+              SELECT term,
+                     round(ln((g.n - df + 0.5) / (df + 0.5) + 1.0), 9)
+                       AS idf
+              FROM dfs, g
+            ), scored AS (
+              SELECT tf.doc_id,
+                     CAST(round(idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl)
+                          / (g.total * 1.0 / g.n))), 9)
+                       AS DECIMAL(38,9)) AS c
+              FROM tf JOIN idf USING (term), g
+            )
+            SELECT doc_id, CAST(count(*) AS INT) AS n_hit_terms,
+                   round(CAST(sum(c) AS DOUBLE), 6) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 50
         """,
         "gopher_rules_gate": """
             WITH planted AS (

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from go_crawler_spark.functions.text import normalize_for_fingerprint, tokens
 
-__all__ = ["inverted_index"]
+__all__ = ["inverted_index", "bm25_topk"]
 
 
 def inverted_index(
@@ -73,4 +73,107 @@ def inverted_index(
         stats.join(head, "term")
         .filter(F.col("df") >= min_df)
         .select("term", "df", "cf", "postings")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 retrieval over the normalized token stream (Robertson/Spärck
+    Jones probabilistic ranking, the Lucene-default scoring function —
+    the candidate-generation tier in front of embedding rerank).
+
+    Per query term t and document d:
+
+        idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)      [Lucene form]
+        score(t, d) = idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Returns the ``top_n`` documents by total score:
+    ``(id_col, n_hit_terms, score)``, fully tie-broken
+    (score DESC, id ASC) so the slice is deterministic.
+
+    Scale shape:
+    - The token explode is filtered to the QUERY TERMS immediately (the
+      bounded query set ships as an ``isin`` literal list), so the tf
+      exchange carries only matching (doc, term) rows — a vanishing
+      fraction of the corpus.
+    - Document lengths are a map-side count aggregate (id-keyed, uniform).
+    - df/avgdl/N are one bounded aggregate collected to the driver
+      (|query_terms| + 2 numbers) and re-enter as literals — no join.
+    - The final top-n is a per-partition TakeOrdered merge (Spark's
+      orderBy+limit), never a global sort materialization.
+
+    Cross-engine float protocol (SURVEY §6): per-(doc, term) contributions
+    are rounded to 9 dp into DECIMAL(38,9) and summed exactly; the final
+    score is rounded to 6 dp.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(normalize_for_fingerprint(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t")).select(
+        "_id",
+        F.size(F.filter("_t", lambda w: F.length(w) > 0)).alias("dl"),
+        F.explode("_t").alias("term"),
+    )
+    hits = base.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+    # bounded censuses: N docs with >=1 token, total token count, per-term df
+    gstats = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    ).select(
+        "_id", F.size(F.filter("_t", lambda w: F.length(w) > 0)).alias("dl")
+    ).filter(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).first()
+    n_docs, total_tokens = int(gstats["n"]), int(gstats["total"])
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_hit_terms int, score double"
+        )
+    avgdl = total_tokens / n_docs
+    dfs = {
+        r["term"]: int(r["c"])
+        for r in tf.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    import math
+
+    idf = {
+        t: round(
+            math.log((n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1.0),
+            9,
+        )
+        for t in query_terms
+    }
+    idf_map = F.create_map(
+        *[x for t in query_terms for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    contrib = F.round(
+        idf_map[F.col("term")]
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        tf.select("_id", contrib.alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
+            F.sum("_c").alias("_s"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_hit_terms",
+            F.round(F.col("_s").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
     )
