@@ -2028,6 +2028,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, ["spark", "join", "window", "stream"], top_n=50
         )
 
+    def hybrid_retrieval_rrf(spark, sf):
+        # hybrid retrieval: BM25 lexical tier + exact-cosine semantic tier
+        # fused by reciprocal-rank fusion (Cormack 2009, k0=60) — the
+        # composition a RAG stack runs per query. Both tiers are bounded
+        # top-N candidate lists before fusion; the fusion exchanges only
+        # (id, tier, rank) triples (operators/index.py::rrf_fuse). Tier
+        # ranks re-rank on the tiers' own ROUNDED output scores (both
+        # tiers are independently oracle-matched at 6 dp, so the derived
+        # ranks are cross-engine stable). Semantic query = embedding 0;
+        # vec_id ≡ doc_id in the synthetic tables.
+        from go_crawler_spark.operators.index import bm25_topk, rrf_fuse
+
+        docs = _t(spark, sf, "documents")
+        emb = _t(spark, sf, "embeddings")
+        lex = bm25_topk(
+            docs, ["spark", "join", "window", "stream"], top_n=40
+        ).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+        queries_df = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        # k=45 raw candidates, re-ranked on the 6-dp rounded score, kept
+        # to 40 — the extra 5 absorb raw-vs-rounded order flips at the
+        # tier boundary so the oracle (which ranks on rounded scores
+        # directly) sees the same 40-doc set.
+        sem = (
+            brute_force_topk(emb, queries_df, k=45)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.row_number()
+                .over(
+                    Window.orderBy(
+                        F.desc(F.round("score", 6)), F.asc("vec_id")
+                    )
+                )
+                .alias("rank"),
+            )
+            .filter(F.col("rank") <= 40)
+        )
+        return rrf_fuse({"lex": lex, "sem": sem}, top_n=25)
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2252,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": bpe_encode_corpus,
         "gopher_rules_gate": gopher_rules_gate,
         "bm25_topk_docs": bm25_topk_docs,
+        "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4351,6 +4398,75 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(c) AS DOUBLE), 6) AS score
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+        "hybrid_retrieval_rrf": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter({toks_norm}, w -> length(w) > 0) AS t
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, len(t) AS dl, t FROM d WHERE len(t) > 0
+            ), g AS (
+              SELECT count(*) AS n, sum(dl) AS total FROM dl
+            ), hits AS (
+              SELECT doc_id, dl, unnest(t) AS term FROM dl
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+              FROM hits
+              WHERE term IN ('spark', 'join', 'window', 'stream')
+              GROUP BY doc_id, term
+            ), dfs AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), idf AS (
+              SELECT term,
+                     round(ln((g.n - df + 0.5) / (df + 0.5) + 1.0), 9)
+                       AS idf
+              FROM dfs, g
+            ), bscored AS (
+              SELECT tf.doc_id,
+                     CAST(round(idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl)
+                          / (g.total * 1.0 / g.n))), 9)
+                       AS DECIMAL(38,9)) AS c
+              FROM tf JOIN idf USING (term), g
+            ), bm AS (
+              SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+              FROM bscored GROUP BY doc_id
+              ORDER BY score DESC, doc_id ASC LIMIT 40
+            ), lex AS (
+              SELECT doc_id, row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS rank
+              FROM bm
+            ), ev AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), qv AS (
+              SELECT v FROM ev WHERE vec_id = 0
+            ), sem AS (
+              SELECT doc_id, rank FROM (
+                SELECT e.vec_id AS doc_id,
+                       row_number() OVER (
+                         ORDER BY round(list_cosine_similarity(e.v, qv.v), 6)
+                                    DESC,
+                                  e.vec_id ASC) AS rank
+                FROM ev e, qv
+              ) WHERE rank <= 40
+            ), fused AS (
+              SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                     l.rank AS lex_rank, s.rank AS sem_rank
+              FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+            )
+            SELECT doc_id,
+                   CAST(lex_rank AS INT) AS lex_rank,
+                   CAST(sem_rank AS INT) AS sem_rank,
+                   round(CAST(
+                     COALESCE(CAST(round(1.0 / (60 + lex_rank), 9)
+                                   AS DECIMAL(38,9)), 0)
+                     + COALESCE(CAST(round(1.0 / (60 + sem_rank), 9)
+                                     AS DECIMAL(38,9)), 0)
+                   AS DOUBLE), 6) AS rrf_score
+            FROM fused
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 25
         """,
         "gopher_rules_gate": """
             WITH planted AS (

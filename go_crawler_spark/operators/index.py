@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from go_crawler_spark.functions.text import normalize_for_fingerprint, tokens
 
-__all__ = ["inverted_index", "bm25_topk"]
+__all__ = ["inverted_index", "bm25_topk", "rrf_fuse"]
 
 
 def inverted_index(
@@ -175,5 +175,67 @@ def bm25_topk(
             F.round(F.col("_s").cast("double"), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
+    )
+
+
+def rrf_fuse(
+    tiers: "dict[str, DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of ranked
+    retrieval tiers — the standard way a hybrid search stack combines the
+    BM25 (lexical) and embedding (semantic) candidate lists without score
+    calibration:
+
+        rrf(d) = Σ_tiers 1 / (k0 + rank_tier(d))        [k0 = 60]
+
+    ``tiers`` maps tier name → a DataFrame of ``(id_col, rank_col)`` with
+    ranks 1-based and unique per tier (each tier's own deterministic
+    tie-break already applied). Returns one row per document appearing in
+    ANY tier: ``(id_col, <name>_rank ... one int column per tier,
+    rrf_score)``, ordered ``rrf_score DESC, id ASC``, limited to
+    ``top_n``.
+
+    Scale shape: the inputs are already top-N candidate lists (bounded by
+    construction — BM25's TakeOrdered, ANN's per-query window), so the
+    fusion exchanges only |tiers|·N ``(id, tier, rank)`` triples into one
+    id-keyed aggregate; no document text, no vectors, no join back to the
+    corpus. Adding a tier is one more unionByName branch, not a wider
+    join. Cross-engine float protocol (SURVEY §6): per-tier contributions
+    ``1/(k0+rank)`` are rounded to 9 dp into DECIMAL(38,9), summed
+    exactly, final score rounded to 6 dp.
+    """
+    if not tiers:
+        raise ValueError("tiers must be non-empty")
+    tagged = None
+    for name, df in tiers.items():
+        part = df.select(
+            F.col(id_col).alias("_id"),
+            F.lit(name).alias("_tier"),
+            F.col(rank_col).cast("int").alias("_rank"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    contrib = F.round(F.lit(1.0) / (F.lit(k0) + F.col("_rank")), 9).cast(
+        "decimal(38,9)"
+    )
+    per_tier = [
+        F.min(F.when(F.col("_tier") == name, F.col("_rank")))
+        .cast("int")
+        .alias(f"{name}_rank")
+        for name in tiers
+    ]
+    return (
+        tagged.groupBy("_id")
+        .agg(*per_tier, F.sum(contrib).alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            *[f"{name}_rank" for name in tiers],
+            F.round(F.col("_s").cast("double"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(top_n)
     )

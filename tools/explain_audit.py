@@ -607,6 +607,40 @@ def main() -> None:
          "BatchEvalPython": False, "ArrowEvalPython": False},
     )
 
+    # BM25: the token explode is term-filtered before the tf aggregate
+    # (only matching (doc, term) rows exchange), contributions sum with a
+    # map-side partial, no Python anywhere (censuses re-enter as literals)
+    from go_crawler_spark.operators.index import bm25_topk, rrf_fuse
+
+    bm = bm25_topk(docs, ["spark", "join"], top_n=10)
+    audit(
+        "bm25_topk (term-filtered explode, JVM-only scoring)",
+        bm,
+        {"partial_sum": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "bm25_topk (document text never shuffles)",
+        bm,
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
+    # RRF fusion: the tiers are bounded top-N lists; the fusion itself is
+    # one (id)-keyed aggregate over (id, tier, rank) triples — partial
+    # map-side combine, zero Python, and a TakeOrdered (never a global
+    # sort materialization) for the final slice
+    t1 = docs.select("doc_id", (F.col("doc_id") % 7 + 1).cast("int").alias("rank"))
+    t2 = docs.select("doc_id", (F.col("doc_id") % 5 + 1).cast("int").alias("rank"))
+    fused = rrf_fuse({"lex": t1, "sem": t2}, top_n=10)
+    audit(
+        "rrf_fuse (rank-triple aggregate, TakeOrdered slice)",
+        fused,
+        {"partial_min": True, "TakeOrderedAndProject": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False,
+         "Sort ": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
