@@ -339,6 +339,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "chunk_windows_embed",
         "bpe_encode_corpus",
         "gopher_rules_gate",
+        "bm25_topk_docs",
+        "hybrid_retrieval_rrf",
     ]
     times: dict[str, float] = {}
     for name in names:
