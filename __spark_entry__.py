@@ -2074,6 +2074,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rrf_fuse({"lex": lex, "sem": sem}, top_n=25)
 
+    def word_blocklist_docs(spark, sf):
+        # C4-style content word-blocklist gate (Raffel et al. 2020 §2.2;
+        # Dolma/FineWeb run it with a count threshold) — map-only JVM
+        # filter+size per row, no explode, no shuffle
+        # (operators/quality.py::word_blocklist_gate). The list here is a
+        # benign stand-in drawn from the synthetic vocabulary (the real
+        # gate takes the caller's policy list); max_flagged=2 exercises
+        # the thresholded keep verdict in both directions.
+        from go_crawler_spark.operators.quality import word_blocklist_gate
+
+        docs = _t(spark, sf, "documents")
+        return word_blocklist_gate(
+            docs, ["dup", "stream"], max_flagged=2
+        )
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2299,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_gate": gopher_rules_gate,
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
+        "word_blocklist_docs": word_blocklist_docs,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4467,6 +4483,27 @@ def oracle_sql() -> dict[str, str]:
                    AS DOUBLE), 6) AS rrf_score
             FROM fused
             ORDER BY rrf_score DESC, doc_id ASC LIMIT 25
+        """,
+        "word_blocklist_docs": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter({toks_norm}, w -> length(w) > 0) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(t,
+                        w -> list_contains(['dup', 'stream'], w)))
+                     AS INT) AS n_flagged,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE round(len(list_filter(t,
+                               w -> list_contains(['dup', 'stream'], w)))
+                             * 1.0 / len(t), 6)
+                   END AS flagged_frac,
+                   len(list_filter(t,
+                       w -> list_contains(['dup', 'stream'], w))) <= 2
+                     AS keep
+            FROM d
         """,
         "gopher_rules_gate": """
             WITH planted AS (

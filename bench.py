@@ -341,6 +341,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "gopher_rules_gate",
         "bm25_topk_docs",
         "hybrid_retrieval_rrf",
+        "word_blocklist_docs",
     ]
     times: dict[str, float] = {}
     for name in names:

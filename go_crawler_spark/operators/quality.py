@@ -164,3 +164,57 @@ def linear_quality_score(
             > 0
         ).alias("label"),
     )
+
+
+def word_blocklist_gate(
+    df: DataFrame,
+    blocklist: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_flagged: int = 0,
+) -> DataFrame:
+    """C4-style content word-blocklist gate (Raffel et al. 2020, §2.2:
+    drop any page containing a word from a public blocklist; Dolma and
+    FineWeb run the same gate with a count/fraction threshold). The
+    word list is the CALLER's policy input — the operator ships no list.
+
+    Per document over the normalized token stream (the same
+    normalization the dedup fingerprints and BM25 use):
+
+    - ``n_flagged``    — tokens that are in the blocklist (occurrence
+      count, not distinct)
+    - ``flagged_frac`` — n_flagged / n_tokens rounded to 6 dp (0.0 for
+      empty docs)
+    - ``keep``         — ``n_flagged <= max_flagged`` (C4's rule is the
+      default ``max_flagged=0``: any hit drops the page)
+
+    Scale shape: map-only — the blocklist enters as ONE literal array
+    and the count is a JVM ``filter``+``size`` over each row's tokens
+    inside whole-stage codegen; no explode, no shuffle, no Python. Cost
+    is O(tokens · |blocklist|) per row, the right trade for real lists
+    (LDNOOBW-class, ~10² words); a 10⁵-word list would instead
+    broadcast-join the distinct-token census and join counts back —
+    same output contract, so callers can swap without downstream
+    changes.
+    """
+    bl = F.array(*[F.lit(w) for w in blocklist]) if blocklist else F.array()
+    toks = tokens(normalize_for_fingerprint(F.col(text_col)))
+    nonblank = F.filter(toks, lambda t: F.length(t) > 0)
+    flagged = F.size(F.filter(nonblank, lambda t: F.array_contains(bl, t)))
+    n = F.size(nonblank)
+    return df.select(
+        F.col(id_col),
+        flagged.cast("int").alias("n_flagged"),
+        n.cast("int").alias("n_tokens"),
+    ).select(
+        id_col,
+        "n_flagged",
+        "n_tokens",
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("n_flagged") / F.col("n_tokens")
+            ),
+            6,
+        ).alias("flagged_frac"),
+        (F.col("n_flagged") <= F.lit(max_flagged)).alias("keep"),
+    )

@@ -147,3 +147,50 @@ def test_rrf_single_tier(spark):
 def test_rrf_empty_tiers_raises(spark):
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+# --- word_blocklist_gate (C4-style content gate; lives here with the
+# other token-stream ops sharing the normalize+tokens pipeline) ---
+
+from go_crawler_spark.operators.quality import word_blocklist_gate
+
+
+def test_blocklist_counts_occurrences_not_distinct(spark):
+    docs = _docs(spark, [(0, "bad bad good"), (1, "good fine")])
+    rows = {r["doc_id"]: r for r in
+            word_blocklist_gate(docs, ["bad"]).collect()}
+    assert rows[0]["n_flagged"] == 2 and rows[0]["n_tokens"] == 3
+    assert rows[0]["flagged_frac"] == round(2 / 3, 6)
+    assert rows[0]["keep"] is False          # C4 default: any hit drops
+    assert rows[1]["n_flagged"] == 0 and rows[1]["keep"] is True
+
+
+def test_blocklist_threshold(spark):
+    docs = _docs(spark, [(0, "bad x"), (1, "bad bad x"), (2, "bad bad bad")])
+    got = {r["doc_id"]: r["keep"] for r in
+           word_blocklist_gate(docs, ["bad"], max_flagged=2).collect()}
+    assert got == {0: True, 1: True, 2: False}
+
+
+def test_blocklist_whole_word_only(spark):
+    # substring of a longer token must not match (word gate, not grep)
+    docs = _docs(spark, [(0, "badly embedded notbad")])
+    r = word_blocklist_gate(docs, ["bad"]).collect()[0]
+    assert r["n_flagged"] == 0 and r["keep"] is True
+
+
+def test_blocklist_normalization_case(spark):
+    # gate runs on the normalized stream: case-insensitive match
+    docs = _docs(spark, [(0, "BAD Bad bAd")])
+    r = word_blocklist_gate(docs, ["bad"]).collect()[0]
+    assert r["n_flagged"] == 3 and r["keep"] is False
+
+
+def test_blocklist_empty_doc_and_empty_list(spark):
+    docs = _docs(spark, [(0, ""), (1, "   ")])
+    for r in word_blocklist_gate(docs, ["bad"]).collect():
+        assert r["n_flagged"] == 0 and r["n_tokens"] == 0
+        assert r["flagged_frac"] == 0.0 and r["keep"] is True
+    docs2 = _docs(spark, [(0, "anything goes")])
+    r = word_blocklist_gate(docs2, []).collect()[0]
+    assert r["n_flagged"] == 0 and r["keep"] is True

@@ -641,6 +641,17 @@ def main() -> None:
          "Sort ": False},
     )
 
+    # C4 word-blocklist gate: literal-array membership filter+size per
+    # row — one codegen span over the scan, zero exchanges, zero Python
+    from go_crawler_spark.operators.quality import word_blocklist_gate
+
+    audit(
+        "word_blocklist (map-only literal-array gate, zero exchanges)",
+        word_blocklist_gate(docs, ["dup", "stream"], max_flagged=2),
+        {"Exchange": False, "codegen id": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
