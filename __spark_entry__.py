@@ -2089,6 +2089,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, ["dup", "stream"], max_flagged=2
         )
 
+    def domain_quality_docs(spark, sf):
+        # RefinedWeb/FineWeb-style DOMAIN-level quality gate: the
+        # token-weighted mean of the hashed-linear logit over each
+        # registrable domain's whole token stream decides the domain's
+        # docs wholesale (operators/quality.py::domain_quality_gate).
+        # Exact int64 sums -> engine-exact statistic; threshold -4.0 sits
+        # near the synthetic domains' median logit so they split both
+        # ways (measured range -9.1..-0.7).
+        from go_crawler_spark.functions.urls import (
+            registrable_domain_expr,
+            surt_host_expr,
+        )
+        from go_crawler_spark.operators.quality import domain_quality_gate
+
+        docs = (
+            _t(spark, sf, "documents")
+            .withColumn("url", _synth_url("doc_id"))
+            .withColumn(
+                "domain", registrable_domain_expr(surt_host_expr("url"))
+            )
+        )
+        return domain_quality_gate(docs, min_mean_w=-4.0)
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2315,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
         "word_blocklist_docs": word_blocklist_docs,
+        "domain_quality_docs": domain_quality_docs,
     }
     return _rotate_by_driver_staleness(_all)
 
@@ -4504,6 +4528,50 @@ def oracle_sql() -> dict[str, str]:
                        w -> list_contains(['dup', 'stream'], w))) <= 2
                      AS keep
             FROM d
+        """,
+        "domain_quality_docs": f"""
+            -- domain-level token-weighted linear quality: host/domain
+            -- derivation mirrors domain_cap_select's; per-doc score
+            -- replica mirrors quality_linear_model's
+            WITH u AS (SELECT doc_id, text, {_SYNTH_URL_SQL} AS url
+                       FROM documents),
+            h AS (SELECT doc_id, text,
+                    regexp_replace(lower(string_split(string_split(
+                        regexp_extract(regexp_replace(string_split(url, '#')[1],
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*'),
+                        '@')[-1], ':')[1]), '\\.$', '') AS host
+                  FROM u),
+            r AS (SELECT doc_id, text,
+                    CASE WHEN len(string_split(host, '.')) >= 2
+                         THEN string_split(host, '.')[-2] || '.'
+                              || string_split(host, '.')[-1]
+                         ELSE host END AS domain
+                  FROM h),
+            scored AS (
+              SELECT doc_id, domain,
+                     CASE WHEN length({norm_text}) = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(list_sum(list_transform({toks_norm},
+                            x -> (strpos('0123456789abcdef',
+                                         substring(md5(x), 1, 1)) - 1) * 16
+                               + (strpos('0123456789abcdef',
+                                         substring(md5(x), 2, 1)) - 1)
+                               - 128)) AS BIGINT) END AS score,
+                     CASE WHEN length({norm_text}) = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(len({toks_norm}) AS BIGINT) END
+                       AS n_tokens
+              FROM r
+            ),
+            census AS (
+              SELECT domain,
+                     round(CASE WHEN sum(n_tokens) = 0 THEN 0.0
+                           ELSE sum(score) * 1.0 / sum(n_tokens) END, 6)
+                       AS domain_mean_w,
+                     count(*) AS domain_docs
+              FROM scored GROUP BY domain
+            )
+            SELECT s.doc_id, s.domain, c.domain_mean_w, c.domain_docs,
+                   (c.domain_mean_w > -4.0 AND c.domain_docs >= 1) AS keep
+            FROM scored s JOIN census c USING (domain)
         """,
         "gopher_rules_gate": """
             WITH planted AS (

@@ -342,6 +342,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_topk_docs",
         "hybrid_retrieval_rrf",
         "word_blocklist_docs",
+        "domain_quality_docs",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -115,6 +115,7 @@ def linear_quality_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Score every document with a hashed-bag-of-words linear model —
     the fastText classifier architecture (Joulin et al. 2016) that
@@ -141,6 +142,7 @@ def linear_quality_score(
     n = F.size(toks)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.when(F.length(F.concat_ws("", toks)) == 0, F.lit(0).cast("long"))
         .otherwise(score)
         .alias("score"),
@@ -149,6 +151,7 @@ def linear_quality_score(
         .alias("n_tokens"),
     ).select(
         id_col,
+        *passthrough,
         "score",
         "n_tokens",
         F.round(
@@ -218,3 +221,66 @@ def word_blocklist_gate(
         ).alias("flagged_frac"),
         (F.col("n_flagged") <= F.lit(max_flagged)).alias("keep"),
     )
+
+
+def domain_quality_gate(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_mean_w: float = 0.0,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Domain-level quality gating — the source-level filter
+    RefinedWeb/FineWeb/Gopher apply ABOVE the per-document gates: a
+    domain whose aggregate quality is poor is dropped wholesale, docs
+    and all (junk farms rarely host one good page; per-doc filters leak
+    their tail).
+
+    The domain statistic is the TOKEN-WEIGHTED mean of the hashed-linear
+    model logit (:func:`linear_quality_score`):
+
+        domain_mean_w = round(Σ_docs score / Σ_docs n_tokens, 6)
+
+    i.e. the per-token mean weight over the domain's whole token stream.
+    Both sums are exact int64, so the statistic is engine-exact; a
+    domain of only-empty docs gets 0.0. ``keep`` = ``domain_mean_w >
+    min_mean_w AND domain_doc_count >= min_docs`` (low-evidence domains
+    can be deferred rather than judged by setting ``min_docs``).
+
+    Returns one row per input document: ``(id_col, domain_col,
+    domain_mean_w, domain_docs, keep)``.
+
+    Scale shape: per-doc scoring is the map-only linear pass; the domain
+    census is one groupBy exchanging ``(domain, int64, int64, int64)``
+    partials (map-side combined — one row per distinct domain per task);
+    the verdict joins back on the domain key, a table bounded by the
+    domain count (~10^7 at web scale vs 10^10 docs — AQE broadcasts it
+    when it fits). Document text never shuffles.
+    """
+    scored = linear_quality_score(
+        df, text_col=text_col, id_col=id_col, passthrough=(domain_col,)
+    )
+    census = scored.groupBy(domain_col).agg(
+        F.sum("score").alias("_dscore"),
+        F.sum("n_tokens").alias("_dtokens"),
+        F.count(F.lit(1)).alias("domain_docs"),
+    )
+    verdictc = F.round(
+        F.when(F.col("_dtokens") == 0, F.lit(0.0)).otherwise(
+            F.col("_dscore") / F.col("_dtokens")
+        ),
+        6,
+    )
+    verdicts = census.select(
+        domain_col,
+        verdictc.alias("domain_mean_w"),
+        "domain_docs",
+        (
+            (verdictc > F.lit(min_mean_w))
+            & (F.col("domain_docs") >= F.lit(min_docs))
+        ).alias("keep"),
+    )
+    return scored.select(id_col, domain_col).join(
+        verdicts, domain_col, "left"
+    ).select(id_col, domain_col, "domain_mean_w", "domain_docs", "keep")

@@ -194,3 +194,57 @@ def test_blocklist_empty_doc_and_empty_list(spark):
     docs2 = _docs(spark, [(0, "anything goes")])
     r = word_blocklist_gate(docs2, []).collect()[0]
     assert r["n_flagged"] == 0 and r["keep"] is True
+
+
+# --- domain_quality_gate (RefinedWeb-style source-level filter) ---
+
+import hashlib
+
+from go_crawler_spark.operators.quality import domain_quality_gate
+
+
+def _ddocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+
+def _w(tok: str) -> int:
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return int(h[:2], 16) - 128
+
+
+def test_domain_mean_is_token_weighted(spark):
+    # one domain, two docs of different lengths: the statistic must be
+    # Σscore/Σtokens over the domain stream, not a mean of per-doc means
+    a, b = "alpha beta", "gamma gamma gamma gamma"
+    docs = _ddocs(spark, [(0, "d.org", a), (1, "d.org", b)])
+    toks = a.split() + b.split()
+    expect = round(sum(_w(t) for t in toks) / len(toks), 6)
+    rows = domain_quality_gate(docs, min_mean_w=-1e9).collect()
+    assert all(r["domain_mean_w"] == expect for r in rows)
+    assert all(r["domain_docs"] == 2 and r["keep"] is True for r in rows)
+
+
+def test_domain_gate_splits_and_tags_every_doc(spark):
+    docs = _ddocs(spark, [(0, "good.org", "alpha"), (1, "good.org", "alpha"),
+                          (2, "bad.org", "beta")])
+    wa, wb = _w("alpha"), _w("beta")
+    thr = (wa + wb) / 2
+    got = {r["doc_id"]: r["keep"] for r in
+           domain_quality_gate(docs, min_mean_w=thr).collect()}
+    hi_is_a = wa > wb
+    assert got == {0: hi_is_a, 1: hi_is_a, 2: not hi_is_a}
+
+
+def test_domain_min_docs_defers_low_evidence(spark):
+    docs = _ddocs(spark, [(0, "solo.org", "alpha"),
+                          (1, "big.org", "alpha"), (2, "big.org", "alpha")])
+    got = {r["doc_id"]: r["keep"] for r in
+           domain_quality_gate(docs, min_mean_w=-1e9, min_docs=2).collect()}
+    assert got == {0: False, 1: True, 2: True}
+
+
+def test_domain_all_empty_docs_mean_zero(spark):
+    docs = _ddocs(spark, [(0, "e.org", ""), (1, "e.org", "   ")])
+    rows = domain_quality_gate(docs).collect()
+    assert all(r["domain_mean_w"] == 0.0 for r in rows)
+    assert all(r["keep"] is False for r in rows)  # 0.0 > 0.0 is False

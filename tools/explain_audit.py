@@ -652,6 +652,27 @@ def main() -> None:
          "BatchEvalPython": False, "ArrowEvalPython": False},
     )
 
+    # Domain-level quality gate: map-only per-doc scoring, domain census
+    # combines map-side, verdict joins back on the bounded domain key —
+    # document text never enters an exchange, no Python anywhere
+    from go_crawler_spark.operators.quality import domain_quality_gate
+
+    dq = domain_quality_gate(
+        docs.withColumn("domain", F.lit("d.org")), min_mean_w=-4.0
+    )
+    audit(
+        "domain_quality (map-side census, JVM-only)",
+        dq,
+        {"partial_sum": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+    audit_custom(
+        "domain_quality (document text never shuffles)",
+        dq,
+        "no Exchange input carries the text column",
+        lambda p: exchanges_exclude(p, "text#"),
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
