@@ -1825,6 +1825,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
         )
 
+    def linkgraph_trustrank(spark, sf):
+        # TrustRank (Gyöngyi et al. 2004): seed-biased PageRank — the
+        # anti-link-spam companion to the trap census. Seeds are every
+        # 7th doc_id (a deterministic stand-in for a curated whitelist);
+        # 3 fixed iterations, oracle-verified join-for-join like
+        # linkgraph_pagerank. Non-seed link neighborhoods with no trust
+        # path score exactly 0 — the property the operator exists for.
+        from go_crawler_spark.operators.linkgraph import trustrank
+
+        docs, edges = _synthetic_edges(spark, sf)
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        seeds = nodes.filter(F.col("node") % 7 == 0)
+        tr = trustrank(nodes, edges, seeds, n_iter=3)
+        return tr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+        )
+
     def streaming_host_metrics(spark, sf):
         # Structured Streaming face (streaming/pipeline.py): corpus parquet
         # as a file-source stream -> fused extraction -> event-time windowed
@@ -2289,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": robots_gate,
         "linkgraph_degrees": linkgraph_degrees,
         "linkgraph_pagerank": linkgraph_pagerank,
+        "linkgraph_trustrank": linkgraph_trustrank,
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
         "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
@@ -2628,6 +2646,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM w JOIN pr2 p ON w.src = p.node GROUP BY w.dst) s
               ON d.doc_id = s.dst)
             SELECT node AS doc_id, round(rank, 6) AS rank FROM pr3
+        """,
+        "linkgraph_trustrank": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM documents
+              UNION ALL
+              SELECT doc_id AS src, (doc_id*17+3) % (SELECT n FROM nn) AS dst FROM documents),
+            outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+            w AS (SELECT e.src, e.dst, 1.0/o.od AS w FROM edges e JOIN outd o ON e.src=o.src),
+            sn AS (SELECT count(*) AS s FROM documents WHERE doc_id % 7 = 0),
+            dv AS (SELECT doc_id AS node,
+                          CASE WHEN doc_id % 7 = 0
+                               THEN 1.0/(SELECT s FROM sn) ELSE 0.0 END AS d
+                   FROM documents),
+            tr0 AS (SELECT node, d AS rank FROM dv),
+            tr1 AS (
+              SELECT dv.node, 0.15*dv.d + 0.85*coalesce(s.incoming, 0) AS rank
+              FROM dv LEFT JOIN (
+                SELECT w.dst, sum(p.rank * w.w) AS incoming
+                FROM w JOIN tr0 p ON w.src = p.node GROUP BY w.dst) s
+              ON dv.node = s.dst),
+            tr2 AS (
+              SELECT dv.node, 0.15*dv.d + 0.85*coalesce(s.incoming, 0) AS rank
+              FROM dv LEFT JOIN (
+                SELECT w.dst, sum(p.rank * w.w) AS incoming
+                FROM w JOIN tr1 p ON w.src = p.node GROUP BY w.dst) s
+              ON dv.node = s.dst),
+            tr3 AS (
+              SELECT dv.node, 0.15*dv.d + 0.85*coalesce(s.incoming, 0) AS rank
+              FROM dv LEFT JOIN (
+                SELECT w.dst, sum(p.rank * w.w) AS incoming
+                FROM w JOIN tr2 p ON w.src = p.node GROUP BY w.dst) s
+              ON dv.node = s.dst)
+            SELECT node AS doc_id, round(rank, 6) AS rank FROM tr3
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -105,6 +105,97 @@ def pagerank(
     return ranks
 
 
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): biased
+    PageRank whose teleport vector is uniform over a *trusted seed set*
+    instead of the whole graph —
+
+        r_{t+1}(v) = (1-α)·d(v) + α·Σ_{u→v} r_t(u)/outdeg(u),
+        d(v) = 1/|S| if v ∈ S else 0,   r_0 = d.
+
+    Trust flows outward from vetted hosts; link-farm spam that PageRank
+    rewards (dense reciprocal in-links from other spam) scores ≈0 here
+    because no trust path reaches it. The standard anti-spam companion to
+    the crawl tier's trap census: traps.py removes *structural* crawl
+    sinks, TrustRank demotes *adversarial* link neighborhoods, and the
+    priority frontier (Q2/priority_frontier_topk) can schedule by either.
+
+    ``nodes``: (node) universe; ``edges``: (src, dst); ``seeds``: (node)
+    subset (rows not in ``nodes`` are harmless — they only add teleport
+    mass that immediately flows along their out-edges, and |S| counts
+    them). Deterministic for fixed n_iter (no tolerance exit), so the
+    DuckDB oracle reproduces it join-for-join.
+
+    Scale shape: identical to pagerank() — each iteration is one
+    edges ⋈ ranks shuffle + one agg on dst; the per-edge 1/outdeg weight
+    is precomputed once and persisted; the seed flag rides ``nodes`` as a
+    broadcast-joinable bit (|S| ≪ |V|: a curated whitelist is ~10^4-10^6
+    hosts against a 10^10 frontier). Ranks are (node, double) pairs —
+    never wider. Lineage is truncated every ``checkpoint_every``
+    iterations exactly as pagerank() does.
+    """
+    s = seeds.select("node").distinct()
+    s_count = s.count()
+    if s_count == 0:
+        # no trust anywhere: the fixed point is identically zero
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    outd = out_degrees(edges)
+    weighted = edges.join(outd, edges["src"] == outd["node"]).select(
+        "src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w")
+    )
+    weighted = weighted.persist()
+    weighted.count()
+
+    # teleport vector d: 1/|S| on seeds, 0 elsewhere (broadcast the seed
+    # bit — the whitelist is tiny next to the node universe)
+    d_nodes = nodes.join(
+        F.broadcast(s.withColumn("_seed", F.lit(1))), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_seed").isNotNull(), F.lit(1.0 / s_count))
+        .otherwise(F.lit(0.0))
+        .alias("d"),
+    )
+    d_nodes = d_nodes.persist()
+
+    ranks = d_nodes.select("node", F.col("d").alias("rank"))
+    base = 1.0 - damping
+    prev_ck = None
+    for i in range(n_iter):
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            d_nodes.join(contribs, d_nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) * F.col("d")
+                    + F.lit(damping) * F.coalesce("incoming", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            new_ranks = ranks.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                unpersist_local_checkpoint(prev_ck)
+            ranks = prev_ck = new_ranks
+    weighted.unpersist()
+    d_nodes.unpersist()
+    return ranks
+
+
 def hits(nodes: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999), fixed iteration count.
     ``nodes`` has one column ``node``; ``edges`` has (src, dst). Returns

@@ -31,6 +31,51 @@ def test_pagerank_hand_computed(spark):
         assert abs(got[v] - expect[v]) < 1e-12, (v, got[v], expect[v])
 
 
+def test_trustrank_hand_computed_and_spam_zero(spark):
+    # trusted island {0,1} linking each other; spam farm {2,3} densely
+    # reciprocal (the shape PageRank rewards) but with NO trust path in
+    # (Gyöngyi et al. 2004's motivating case) — spam must score exactly 0
+    from go_crawler_spark.operators.linkgraph import trustrank
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (3,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 3), (3, 2), (2, 2), (3, 3)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in trustrank(nodes, edges, seeds, n_iter=3).collect()
+    }
+
+    # manual: d = (1,0,0,0); r0 = d
+    # r_{k+1}(v) = 0.15*d(v) + 0.85*sum_in r_k(u)/outdeg(u)
+    d = {0: 1.0, 1: 0.0, 2: 0.0, 3: 0.0}
+    r = dict(d)
+    base = 1.0 - 0.85
+    for _ in range(3):
+        inc = {
+            0: r[1] / 1,
+            1: r[0] / 1,
+            2: r[3] / 2 + r[2] / 2,
+            3: r[2] / 2 + r[3] / 2,
+        }
+        r = {v: base * d[v] + 0.85 * inc.get(v, 0.0) for v in (0, 1, 2, 3)}
+    for v in (0, 1, 2, 3):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert got[2] == 0.0 and got[3] == 0.0  # no trust path -> exactly zero
+
+
+def test_trustrank_empty_seeds_all_zero(spark):
+    from go_crawler_spark.operators.linkgraph import trustrank
+
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = nodes.filter(F.col("node") < 0)
+    got = {r["node"]: r["rank"] for r in trustrank(nodes, edges, seeds).collect()}
+    assert got == {0: 0.0, 1: 0.0}
+
+
 def test_degrees_and_isolated_nodes(spark):
     edges = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], "src long, dst long")
     ind = {r["node"]: r["in_degree"] for r in in_degrees(edges).collect()}
