@@ -2129,6 +2129,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return domain_quality_gate(docs, min_mean_w=-4.0)
 
+    def weighted_priority_sample(spark, sf):
+        # Priority sampling (Duffield, Lund & Thorup, JACM 2007):
+        # deterministic weight-proportional k-sample without replacement
+        # ∝ n_chars, plus the variance-optimal max(w, tau) subset-sum
+        # estimator (operators/corpus_prep.py::priority_sample). The
+        # ranked key w/u is basic IEEE ops over an exact 52-bit md5
+        # uniform, so both engines rank identical bits — no
+        # transcendentals anywhere near the cutoff.
+        from go_crawler_spark.operators.corpus_prep import priority_sample
+
+        docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        out = priority_sample(docs, "n_chars", k=120)
+        return out.select(
+            "doc_id",
+            "n_chars",
+            F.round("priority", 6).alias("priority"),
+            F.round("est_weight", 6).alias("est_weight"),
+        )
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2356,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
         "word_blocklist_docs": word_blocklist_docs,
+        "weighted_priority_sample": weighted_priority_sample,
         "domain_quality_docs": domain_quality_docs,
     }
     return _rotate_by_driver_staleness(_all)
@@ -2396,6 +2416,16 @@ def oracle_sql() -> dict[str, str]:
         " || '/Docs/' || CAST(doc_id AS VARCHAR)"
         " || CASE WHEN doc_id % 4 = 0 THEN '?page=2&ref=a' ELSE '' END"
         " || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"
+    )
+
+    # mirrors operators/corpus_prep.py::priority_sample's 52-bit md5
+    # uniform: per-char hex fold of md5('0:' || id), seed 0 — exact
+    # BIGINT arithmetic (max 16^13-1 < 2^52), same value both engines
+    _prio_v = " + ".join(
+        "(strpos('0123456789abcdef', substr("
+        f"md5('0:' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
     )
 
     def lang_hits(words: tuple[str, ...]) -> str:
@@ -4559,6 +4589,31 @@ def oracle_sql() -> dict[str, str]:
                    AS DOUBLE), 6) AS rrf_score
             FROM fused
             ORDER BY rrf_score DESC, doc_id ASC LIMIT 25
+        """,
+        "weighted_priority_sample": f"""
+            WITH cand AS (
+              SELECT doc_id, n_chars,
+                     CAST(n_chars AS DOUBLE)
+                       / ((({_prio_v}) + 1) / 4503599627370496.0)
+                       AS priority
+              FROM documents WHERE n_chars > 0
+            ),
+            ranked AS (
+              SELECT doc_id, n_chars, priority,
+                     row_number() OVER (ORDER BY priority DESC, doc_id)
+                       AS rn
+              FROM cand
+            ),
+            tau AS (
+              SELECT coalesce(
+                       max(CASE WHEN rn = 121 THEN priority END), 0.0) AS t
+              FROM ranked
+            )
+            SELECT doc_id, n_chars,
+                   round(priority, 6) AS priority,
+                   round(greatest(CAST(n_chars AS DOUBLE),
+                                  (SELECT t FROM tau)), 6) AS est_weight
+            FROM ranked WHERE rn <= 120
         """,
         "word_blocklist_docs": f"""
             WITH d AS (

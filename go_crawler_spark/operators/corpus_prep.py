@@ -401,3 +401,74 @@ def domain_cap(
         .filter(F.col("_r2") <= cap)
         .drop("_salt", "_r1", "_r2")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    deterministic weight-proportional sample of ``k`` rows WITHOUT
+    replacement, with the variance-optimal subset-sum estimator.
+
+    Every row gets priority q = w / u with u ~ Uniform(0,1]; the sample
+    is the k largest priorities and tau is the (k+1)-th: each kept row
+    estimates its weight class as ``est_weight = max(w, tau)``, making
+    ``sum(est_weight)`` over ANY selected subset an unbiased estimate of
+    that subset's true weight total — the primitive behind "subsample
+    10^7 docs from 10^10 ∝ token count, but keep per-slice token
+    accounting honest" (the paper proves no other k-sample does better).
+
+    Determinism/cross-engine protocol: u is built from the first 13 hex
+    chars of md5(seed:id) — 52 bits, exact in a double — via the repo's
+    per-char lookup fold (no wide hex→int builtin), u = (v+1)/2^52 ∈
+    (0,1]. The priority is then ONE correctly-rounded IEEE division of
+    exact inputs, so Spark and the DuckDB oracle produce bit-identical
+    keys and the ranked cutoff cannot straddle engines (the established
+    no-transcendentals-in-ranked-keys rule; A-ES exponential keys would
+    need pow/log and were rejected for exactly that reason).
+
+    Rows with w <= 0 (or null) carry no mass and are excluded up front,
+    matching the estimator's domain.
+
+    100-TB shape: the weight column and the id are the only inputs; the
+    top-(k+1) runs through :func:`priority_schedule`'s range-partitioned
+    two-pass (per-partition counts decide the cutoff; no single-task
+    TakeOrderedAndProject merge), tau is ONE collected row, and the
+    estimate is a map-only expression over the k survivors.
+    """
+    from go_crawler_spark.operators.sequence import priority_schedule
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    v = F.lit(0).cast("long")
+    for i in range(13):
+        v = v * 16 + (F.instr(F.lit(HEX_CHARS), F.substring(h, i + 1, 1)) - 1)
+    u = (v + 1).cast("double") / F.lit(float(1 << 52))
+    cand = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(
+            "priority", F.col(weight_col).cast("double") / u
+        )
+        .withColumn("_negp", -F.col("priority"))
+    )
+    topk1 = priority_schedule(
+        cand, ["_negp", id_col], k + 1, num_partitions=num_partitions
+    ).persist()
+    # tau = the (k+1)-th priority — the threshold below which nothing was
+    # kept; 0.0 when the population is <= k (then every row keeps w
+    # exactly, the paper's degenerate case). ONE bounded row collected.
+    tau_rows = topk1.filter(F.col("seq") == k).select("priority").collect()
+    tau = float(tau_rows[0]["priority"]) if tau_rows else 0.0
+    out = (
+        topk1.filter(F.col("seq") < k)
+        .withColumn(
+            "est_weight",
+            F.greatest(F.col(weight_col).cast("double"), F.lit(tau)),
+        )
+        .drop("_negp", "seq")
+    )
+    return out

@@ -466,3 +466,45 @@ class TestCorpusPrep:
         tok_total = sum(r["n_tokens"] for r in rows)
         small = min(rows, key=lambda r: r["n_tokens"])
         assert small["weight"] > small["n_tokens"] / tok_total
+
+
+class TestPrioritySample:
+    """Priority sampling (Duffield-Lund-Thorup 2007): Spark selection and
+    priorities vs an independent pure-Python replica of the same
+    protocol, plus the estimator's structural invariants."""
+
+    @staticmethod
+    def _py_priority(doc_id: int, w: float, seed: int = 0) -> float:
+        import hashlib
+
+        h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+        v = int(h[:13], 16)
+        return float(w) / ((v + 1) / float(1 << 52))
+
+    def test_matches_python_replica(self, spark):
+        from go_crawler_spark.operators.corpus_prep import priority_sample
+
+        rows = [(i, (i * 37) % 97 + 1) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = priority_sample(df, "w", k=10, id_col="doc_id").collect()
+
+        pri = {i: self._py_priority(i, w) for i, w in rows}
+        order = sorted(pri, key=lambda i: (-pri[i], i))
+        expect_ids = order[:10]
+        tau = pri[order[10]]
+        assert sorted(r["doc_id"] for r in got) == sorted(expect_ids)
+        for r in got:
+            assert r["priority"] == pri[r["doc_id"]]  # bit-exact
+            assert r["est_weight"] == max(float(r["w"]), tau)
+
+    def test_population_leq_k_keeps_all_exact_weights(self, spark):
+        from go_crawler_spark.operators.corpus_prep import priority_sample
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 7), (3, 0), (4, -2)], "doc_id long, w long"
+        )
+        got = priority_sample(df, "w", k=10).collect()
+        # w <= 0 rows carry no mass and are excluded; tau = 0 so every
+        # survivor estimates its own exact weight
+        assert sorted(r["doc_id"] for r in got) == [1, 2]
+        assert {r["doc_id"]: r["est_weight"] for r in got} == {1: 5.0, 2: 7.0}
