@@ -2148,6 +2148,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("est_weight", 6).alias("est_weight"),
         )
 
+    def mojibake_repair(spark, sf):
+        # ftfy-style UTF-8-as-cp1252 repair (functions/text.py::
+        # fix_mojibake — repair table DERIVED from the encoding
+        # principle, bounded JVM replace chain, map-only). Corruption is
+        # planted deterministically: four mojibake'd snippets rotate by
+        # doc_id, the fifth class is the clean control group where the
+        # repair must be a byte-for-byte no-op.
+        from go_crawler_spark.functions.text import as_mojibake, fix_mojibake
+
+        snippets = [
+            as_mojibake("Café résumé déjà vu"),
+            as_mojibake("“quoted” — em dash… fin"),
+            as_mojibake("naïve façade über señor"),
+            as_mojibake("€ 99 · © 2024 «cite»"),
+            "",
+        ]
+        docs = _t(spark, sf, "documents")
+        raw = F.concat(
+            F.element_at(
+                F.array([F.lit(s) for s in snippets]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.lit(" "),
+            F.col("text"),
+        )
+        fixed = fix_mojibake(raw)
+        return docs.select(
+            "doc_id",
+            F.substring(fixed, 1, 48).alias("fixed_head"),
+            (F.length(raw) - F.length(fixed)).alias("shrink"),
+            (raw != fixed).alias("changed"),
+        )
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2376,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
         "word_blocklist_docs": word_blocklist_docs,
         "weighted_priority_sample": weighted_priority_sample,
+        "mojibake_repair": mojibake_repair,
         "domain_quality_docs": domain_quality_docs,
     }
     return _rotate_by_driver_staleness(_all)
@@ -2427,6 +2461,32 @@ def oracle_sql() -> dict[str, str]:
         f" * {16 ** (12 - i)}"
         for i in range(13)
     )
+
+    # mirrors queries().mojibake_repair: same derived repair table
+    # (functions/text.py::mojibake_pairs — longest-form-first total
+    # order), same planted snippets, replayed as a literal replace chain
+    from go_crawler_spark.functions.text import (
+        as_mojibake as _as_moj,
+        mojibake_pairs as _moj_pairs,
+    )
+
+    _moj_snips = [
+        _as_moj("Café résumé déjà vu"),
+        _as_moj("“quoted” — em dash… fin"),
+        _as_moj("naïve façade über señor"),
+        _as_moj("€ 99 · © 2024 «cite»"),
+        "",
+    ]
+    _moj_case = (
+        "CASE doc_id % 5 "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'" for i, s in enumerate(_moj_snips[:4])
+        )
+        + " ELSE '' END"
+    )
+    _moj_fixed = "raw"
+    for _bad, _good in _moj_pairs():
+        _moj_fixed = f"replace({_moj_fixed}, '{_bad}', '{_good}')"
 
     def lang_hits(words: tuple[str, ...]) -> str:
         lst = ", ".join(f"'{w}'" for w in words)
@@ -4614,6 +4674,20 @@ def oracle_sql() -> dict[str, str]:
                    round(greatest(CAST(n_chars AS DOUBLE),
                                   (SELECT t FROM tau)), 6) AS est_weight
             FROM ranked WHERE rn <= 120
+        """,
+        "mojibake_repair": f"""
+            WITH r AS (
+              SELECT doc_id, ({_moj_case}) || ' ' || text AS raw
+              FROM documents
+            ),
+            fx AS (
+              SELECT doc_id, raw, {_moj_fixed} AS fixed FROM r
+            )
+            SELECT doc_id,
+                   substr(fixed, 1, 48) AS fixed_head,
+                   len(raw) - len(fixed) AS shrink,
+                   raw != fixed AS changed
+            FROM fx
         """,
         "word_blocklist_docs": f"""
             WITH d AS (

@@ -191,3 +191,54 @@ def scrub_pii(col: Column) -> Column:
     into the phone pass). Pure JVM regexp_replace — codegen'd, no Python;
     at 100 TB this runs as a map-only pass with no shuffle."""
     return scrub_phone(scrub_email(col))
+
+
+# --- mojibake repair (ftfy-style, bounded single pass) ---------------------
+#
+# The classic web-corpus corruption: UTF-8 bytes decoded as Windows-1252
+# ("CafÃ©", "donâ€™t"). The repair table is DERIVED from the encoding
+# principle, not hand-listed: for each target character c, the corrupt form
+# is sloppy_cp1252(utf8(c)) — cp1252 with the five unmapped bytes falling
+# through to their Latin-1 code points, which is exactly how browsers (and
+# ftfy's sloppy-windows-1252 codec) read those bytes. Repair is a bounded
+# chain of literal JVM `replace` calls — map-only, inside codegen, no
+# regex, no Python — applied longest-form-first so a 3-byte artifact is
+# never half-eaten by a 2-byte rule. Single-depth by design: doubly-encoded
+# text (utf8→cp1252 applied twice) produces artifacts of 'Ã'/'Â'
+# themselves — uppercase forms outside this repertoire — and is left
+# (mostly) alone rather than guessed at; >99% of real mojibake is
+# single-depth (ftfy's own default heuristic depth).
+
+# the high-value repertoire: Latin-1 letters common in western-web text
+# plus the cp1252 punctuation block (curly quotes, dashes, ellipsis, euro)
+MOJIBAKE_TARGETS = (
+    "éèêëáàâäãåíìîïóòôöõúùûüñçß" "…‘’“”–—·©«»€™°"
+)
+
+
+def as_mojibake(s: str) -> str:
+    """Corrupt ``s`` the way the web does: encode UTF-8, decode
+    sloppy-cp1252. Test/fixture helper — the inverse of the repair."""
+    out = []
+    for x in s.encode("utf-8"):
+        try:
+            out.append(bytes([x]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(x))  # cp1252 holes -> Latin-1 / C1, per WHATWG
+    return "".join(out)
+
+
+def mojibake_pairs() -> list[tuple[str, str]]:
+    """(corrupt_form, target_char) repair table, longest form first (then
+    lexicographic — a total, deterministic order both engines replay)."""
+    pairs = [(as_mojibake(c), c) for c in MOJIBAKE_TARGETS]
+    return sorted(pairs, key=lambda p: (-len(p[0]), p[0]))
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair single-depth UTF-8-as-cp1252 mojibake. Bounded literal
+    replace chain (|table| ≈ 40), evaluated entirely JVM-side."""
+    out = col
+    for bad, good in mojibake_pairs():
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
