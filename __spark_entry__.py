@@ -2181,6 +2181,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (raw != fixed).alias("changed"),
         )
 
+    def main_content_blocks(spark, sf):
+        # Boilerpipe/jusText block classifier (operators/boilerpipe.py):
+        # NumWords/LinkDensity decision stump over block-tag-split HTML,
+        # one pure JVM expression. The page template is synthesized
+        # around each document's text: nav + link-farm + stub blocks
+        # must be dropped, the article block kept iff it clears
+        # min_words — short/empty docs flip the verdict, so n_content
+        # is a real oracle target.
+        from go_crawler_spark.operators.boilerpipe import extract_main_content
+
+        docs = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit(
+                '<div class="nav"><a href="/a">home</a> <a href="/b">about'
+                '</a> <a href="/c">contact us now</a></div><p>'
+            ),
+            F.col("text"),
+            F.lit(
+                '</p><div><a href="/x">w w w w w</a> tail</div><p>tiny</p>'
+                '<div class="footer"><a href="/p">privacy</a> '
+                '<a href="/t">terms</a></div>'
+            ),
+        )
+        mc = extract_main_content(html)
+        return docs.select(
+            "doc_id",
+            F.substring(mc["main_text"], 1, 64).alias("main_head"),
+            mc["n_blocks"].alias("n_blocks"),
+            mc["n_content"].alias("n_content"),
+        )
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2410,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_blocklist_docs": word_blocklist_docs,
         "weighted_priority_sample": weighted_priority_sample,
         "mojibake_repair": mojibake_repair,
+        "main_content_blocks": main_content_blocks,
         "domain_quality_docs": domain_quality_docs,
     }
     return _rotate_by_driver_staleness(_all)
@@ -4674,6 +4706,46 @@ def oracle_sql() -> dict[str, str]:
                    round(greatest(CAST(n_chars AS DOUBLE),
                                   (SELECT t FROM tau)), 6) AS est_weight
             FROM ranked WHERE rn <= 120
+        """,
+        "main_content_blocks": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<div class="nav"><a href="/a">home</a> <a href="/b">about</a> <a href="/c">contact us now</a></div><p>'
+                     || text ||
+                     '</p><div><a href="/x">w w w w w</a> tail</div><p>tiny</p><div class="footer"><a href="/p">privacy</a> <a href="/t">terms</a></div>'
+                       AS html
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         regexp_split_to_array(html,
+                           '(?i)</?(?:p|div|td|li|h[1-6]|article|section|blockquote)\b[^>]*>|<br\s*/?>'),
+                         x -> struct_pack(
+                           t := trim(regexp_replace(regexp_replace(x, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')),
+                           nw := len(list_filter(
+                                  regexp_split_to_array(trim(regexp_replace(regexp_replace(x, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')), '\s+'),
+                                  w -> w != '')),
+                           lw := len(list_filter(
+                                  regexp_split_to_array(trim(regexp_replace(
+                                    coalesce(array_to_string(regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '), ''),
+                                    '<[^>]+>', ' ', 'g')), '\s+'),
+                                  w -> w != ''))
+                         )),
+                       s -> s.nw > 0) AS feats
+              FROM h
+            ),
+            k AS (
+              SELECT doc_id, feats,
+                     list_filter(feats, s -> s.nw >= 5 AND s.lw * 2 <= s.nw * 1) AS kept
+              FROM f
+            )
+            SELECT doc_id,
+                   substr(coalesce(array_to_string(list_transform(kept, s -> s.t), ' '), ''), 1, 64) AS main_head,
+                   CAST(len(feats) AS INT) AS n_blocks,
+                   CAST(len(kept) AS INT) AS n_content
+            FROM k
         """,
         "mojibake_repair": f"""
             WITH r AS (
