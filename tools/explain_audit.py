@@ -673,6 +673,62 @@ def main() -> None:
         lambda p: exchanges_exclude(p, "text#"),
     )
 
+    # Mojibake repair: bounded literal replace chain — one codegen span,
+    # zero exchanges, zero Python
+    from go_crawler_spark.functions.text import fix_mojibake
+
+    audit(
+        "mojibake_repair (bounded JVM replace chain, map-only)",
+        docs.select("doc_id", fix_mojibake(F.col("text")).alias("fixed")),
+        {"Exchange": False, "codegen id": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
+    # Main-content extraction: higher-order-function block classifier —
+    # page never leaves its partition, no Python
+    from go_crawler_spark.operators.boilerpipe import extract_main_content
+
+    audit(
+        "main_content (block classifier, map-only, JVM higher-order)",
+        docs.select(
+            "doc_id", extract_main_content(F.col("text")).alias("mc")
+        ),
+        {"Exchange": False, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+
+    # Priority sampling: the ranked cutoff runs through the scheduler's
+    # range-partition + Arrow verdict pass (the RangePartitioning itself
+    # sits above the scheduler's localCheckpoint, so the visible plan
+    # starts at the checkpointed scan); no per-row Python anywhere
+    from go_crawler_spark.operators.corpus_prep import priority_sample
+
+    ps = priority_sample(docs, "n_chars", k=50)
+    audit(
+        "priority_sample (scheduler Arrow pass, no per-row Python)",
+        ps,
+        {"MapInPandas": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+
+    # TrustRank: per-iteration edges⋈ranks with the seed bit broadcast
+    from go_crawler_spark.operators.linkgraph import trustrank
+
+    tr_nodes = docs.select(F.col("doc_id").alias("node"))
+    tr_edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 100).alias("dst"),
+    )
+    tr = trustrank(
+        tr_nodes, tr_edges, tr_nodes.filter(F.col("node") % 7 == 0), n_iter=2
+    )
+    audit(
+        "trustrank (seed teleport broadcast, no Python)",
+        tr,
+        {"BroadcastHashJoin": True, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
