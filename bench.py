@@ -343,6 +343,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "hybrid_retrieval_rrf",
         "word_blocklist_docs",
         "domain_quality_docs",
+        "linkgraph_trustrank",
+        "weighted_priority_sample",
+        "mojibake_repair",
+        "main_content_blocks",
     ]
     times: dict[str, float] = {}
     for name in names:
