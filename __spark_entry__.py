@@ -2212,6 +2212,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mc["n_content"].alias("n_content"),
         )
 
+    def conditional_fetch_actions(spark, sf):
+        # RFC 9111/9110 revalidation planner (operators/revisit.py::
+        # conditional_fetch_plan): heuristic freshness + validator
+        # precedence decide fresh / If-None-Match / If-Modified-Since /
+        # full GET per known URL. Fetch epochs, Last-Modified dates and
+        # ETags are synthesized deterministically with independent
+        # periods (1000/28/4/3) so every verdict class appears and the
+        # fresh-vs-stale boundary lands mid-corpus.
+        from go_crawler_spark.operators.revisit import conditional_fetch_plan
+
+        docs = _t(spark, sf, "documents")
+        base = 1_704_067_200  # 2024-01-01T00:00:00Z
+        log = docs.select(
+            F.concat(
+                F.lit("https://"),
+                "source",
+                F.lit("-site.org/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            (F.lit(base) + (F.col("doc_id") % 1000) * 60).alias("warc_ts"),
+            F.when(
+                F.col("doc_id") % 4 != 0,
+                F.date_add(
+                    F.to_date(F.lit("2023-12-01")),
+                    (F.col("doc_id") % 28).cast("int"),
+                ).cast("string"),
+            ).alias("last_modified"),
+            F.when(
+                F.col("doc_id") % 3 != 0, F.md5(F.col("doc_id").cast("string"))
+            ).alias("etag"),
+        )
+        return conditional_fetch_plan(log, now_epoch_s=1_704_153_600)
+
+    def adaptive_politeness_delay(spark, sf):
+        # Heritrix delay-factor politeness (operators/politeness.py::
+        # adaptive_host_delay): per-host mean observed latency × 3/2,
+        # clamped — all-integer statistic. Latencies are biased per host
+        # group so both clamp edges and the open middle all occur.
+        from go_crawler_spark.operators.politeness import adaptive_host_delay
+
+        docs = _t(spark, sf, "documents")
+        log = docs.select(
+            F.concat("source", (F.col("doc_id") % 7).cast("string")).alias(
+                "host"
+            ),
+            (
+                (F.col("doc_id") * 13) % 900 + 50 + (F.col("doc_id") % 7) * 300
+            ).alias("response_ms"),
+        )
+        return adaptive_host_delay(
+            log, min_delay_ms=1000, max_delay_ms=2500
+        )
+
     def gopher_rules_gate(spark, sf):
         # the published Gopher/MassiveText document-quality rule set
         # (Rae et al. 2021, A1.1) — per-rule measured values + combined
@@ -2442,6 +2495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_priority_sample": weighted_priority_sample,
         "mojibake_repair": mojibake_repair,
         "main_content_blocks": main_content_blocks,
+        "conditional_fetch_actions": conditional_fetch_actions,
+        "adaptive_politeness_delay": adaptive_politeness_delay,
         "domain_quality_docs": domain_quality_docs,
     }
     return _rotate_by_driver_staleness(_all)
@@ -4706,6 +4761,47 @@ def oracle_sql() -> dict[str, str]:
                    round(greatest(CAST(n_chars AS DOUBLE),
                                   (SELECT t FROM tau)), 6) AS est_weight
             FROM ranked WHERE rn <= 120
+        """,
+        "conditional_fetch_actions": """
+            WITH log AS (
+              SELECT 'https://' || source || '-site.org/' || CAST(doc_id AS VARCHAR) AS url,
+                     1704067200 + (doc_id % 1000) * 60 AS fetch_epoch,
+                     CASE WHEN doc_id % 4 != 0
+                          THEN DATE '2023-12-01' + CAST(doc_id % 28 AS INT)
+                     END AS lm,
+                     CASE WHEN doc_id % 3 != 0
+                          THEN md5(CAST(doc_id AS VARCHAR))
+                     END AS etag
+              FROM documents
+            ),
+            calc AS (
+              SELECT url, lm, etag,
+                     1704153600 - fetch_epoch AS age_s,
+                     CASE WHEN lm IS NOT NULL
+                          THEN (fetch_epoch
+                                - CAST(epoch(CAST(lm AS TIMESTAMP)) AS BIGINT)) // 10
+                          ELSE 0 END AS lifetime_s
+              FROM log
+            )
+            SELECT url, age_s, lifetime_s,
+                   CASE WHEN age_s < lifetime_s THEN 'fresh'
+                        WHEN etag IS NOT NULL THEN 'revalidate_etag'
+                        WHEN lm IS NOT NULL THEN 'revalidate_ims'
+                        ELSE 'full' END AS action,
+                   CASE WHEN age_s < lifetime_s THEN NULL
+                        WHEN etag IS NOT NULL THEN etag
+                        WHEN lm IS NOT NULL THEN CAST(CAST(lm AS TIMESTAMP) AS VARCHAR)
+                   END AS validator
+            FROM calc
+        """,
+        "adaptive_politeness_delay": """
+            SELECT source || CAST(doc_id % 7 AS VARCHAR) AS host,
+                   count(*) AS n_obs,
+                   greatest(1000, least(2500,
+                     (3 * sum((doc_id * 13) % 900 + 50 + (doc_id % 7) * 300))
+                       // (2 * count(*)))) AS delay_ms
+            FROM documents
+            GROUP BY 1
         """,
         "main_content_blocks": r"""
             WITH h AS (

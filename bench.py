@@ -347,6 +347,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "weighted_priority_sample",
         "mojibake_repair",
         "main_content_blocks",
+        "conditional_fetch_actions",
+        "adaptive_politeness_delay",
     ]
     times: dict[str, float] = {}
     for name in names:

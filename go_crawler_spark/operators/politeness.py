@@ -230,3 +230,55 @@ def allocate_host_budget(
             ).cast("long").alias("quota"),
         )
     )
+
+
+def adaptive_host_delay(
+    fetch_log: DataFrame,
+    delay_factor: tuple[int, int] = (3, 2),
+    min_delay_ms: int = 250,
+    max_delay_ms: int = 30_000,
+    host_col: str = "host",
+    response_ms_col: str = "response_ms",
+) -> DataFrame:
+    """Latency-adaptive politeness delay [EXTENSION]: per host, the next
+    round's inter-request delay scales with the host's OBSERVED response
+    time — Heritrix's ``delayFactor`` discipline (its default politeness:
+    wait delay-factor × last fetch duration before the next request to
+    the same queue), computed over the round's fetch log:
+
+        delay_ms(h) = clamp(factor · mean(response_ms of h),
+                            min_delay_ms, max_delay_ms)
+
+    A struggling host (slow responses) is automatically backed off;
+    a fast CDN gets the floor. Feed the result into
+    ``assign_fetch_slots(host_slots=...)`` after quantizing delay to
+    slots-per-round — the engine's politeness currency.
+
+    ``delay_factor`` is a rational (num, den) and the whole statistic is
+    exact integer arithmetic — ``(num · Σ response) div (den · count)``
+    — so two engines (and two cluster sizes) agree bit for bit; no float
+    means no drift in the clamp comparison either.
+
+    Scale shape: one two-phase aggregate to one row per host (map-side
+    partial sums; the exchange carries (host, sum, count) only), then a
+    map-only clamp. Mega-host skew is irrelevant — a sum/count combines
+    associatively regardless of row distribution.
+    """
+    num, den = delay_factor
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.sum(F.col(response_ms_col).cast("long")).alias("_sum"),
+        F.count(response_ms_col).alias("_n"),
+    )
+    # `div` = ANSI integer division on longs — no double division, so the
+    # statistic stays exact past 2^52 (a mega-host's ms-sum at 10^10 rows
+    # would already round in an IEEE double)
+    raw = F.expr(f"({num} * _sum) div ({den} * _n)")
+    delay = F.greatest(
+        F.lit(min_delay_ms).cast("long"),
+        F.least(F.lit(max_delay_ms).cast("long"), raw),
+    )
+    return agg.select(
+        "host",
+        F.col("_n").alias("n_obs"),
+        delay.alias("delay_ms"),
+    )

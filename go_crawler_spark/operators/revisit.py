@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["snapshot_diff", "recrawl_schedule"]
+__all__ = ["snapshot_diff", "recrawl_schedule", "conditional_fetch_plan"]
 
 
 def snapshot_diff(
@@ -110,4 +110,74 @@ def recrawl_schedule(
             overdue.alias("overdue_s"),
         )
         .filter(F.col("overdue_s") > 0)
+    )
+
+
+def conditional_fetch_plan(
+    log: DataFrame,
+    now_epoch_s: int,
+    url_col: str = "url",
+    fetch_ts_col: str = "warc_ts",
+    last_modified_col: str = "last_modified",
+    etag_col: str = "etag",
+    heuristic_divisor: int = 10,
+) -> DataFrame:
+    """HTTP revalidation planner [EXTENSION]: decide, per known URL, how
+    the next crawl round should touch it — the standard cache-aware fetch
+    discipline (RFC 9111 heuristic freshness + RFC 9110 conditional
+    requests) that Heritrix/Nutch layer over a recrawl schedule so a
+    10^10-URL round spends its byte budget only on content that may have
+    changed.
+
+    Verdicts, in precedence order:
+    - ``fresh``            — age < heuristic lifetime (RFC 9111 §4.2.2:
+                             lifetime = (fetch_ts - last_modified) /
+                             ``heuristic_divisor``, the spec's "typically
+                             10%" guidance); don't even revalidate.
+    - ``revalidate_etag``  — stale but the origin gave a strong validator:
+                             send If-None-Match (RFC 9110 §13.1.2 says
+                             prefer entity tags over dates).
+    - ``revalidate_ims``   — stale, date validator only: If-Modified-Since.
+    - ``full``             — no validators; unconditional GET.
+
+    A 304 answer to either revalidation costs headers only — at web scale
+    the majority of a mature crawl's rounds — so the planner's output is
+    exactly the byte-budget split the fetch tier schedules against.
+
+    All arithmetic is integer epoch seconds (floor division for the
+    lifetime), so the DuckDB oracle matches exactly; ``now_epoch_s`` is a
+    literal, making the plan a pure function of the log (determinism the
+    resume tier relies on). Map-only: one expression per row, no shuffle,
+    no Python; at 10^10 rows this is a single codegen pass over the
+    (url, ts, validators) projection — page bytes are never read.
+    """
+    fetch_epoch = F.col(fetch_ts_col).cast("timestamp").cast("long")
+    lm_epoch = F.col(last_modified_col).cast("timestamp").cast("long")
+    age = F.lit(now_epoch_s) - fetch_epoch
+    lifetime = F.when(
+        F.col(last_modified_col).isNotNull(),
+        F.floor((fetch_epoch - lm_epoch) / F.lit(heuristic_divisor)).cast(
+            "long"
+        ),
+    ).otherwise(F.lit(0))
+    action = (
+        F.when(age < lifetime, F.lit("fresh"))
+        .when(F.col(etag_col).isNotNull(), F.lit("revalidate_etag"))
+        .when(F.col(last_modified_col).isNotNull(), F.lit("revalidate_ims"))
+        .otherwise(F.lit("full"))
+    )
+    validator = (
+        F.when(action == "revalidate_etag", F.col(etag_col))
+        .when(
+            action == "revalidate_ims",
+            F.col(last_modified_col).cast("timestamp").cast("string"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return log.select(
+        F.col(url_col),
+        age.alias("age_s"),
+        lifetime.alias("lifetime_s"),
+        action.alias("action"),
+        validator.alias("validator"),
     )

@@ -332,3 +332,61 @@ def test_domain_cap_under_cap_domains_survive_whole(spark):
     )
     out = domain_cap(df, "domain", cap=10).collect()
     assert len(out) == 3  # no domain exceeds the cap → nothing dropped
+
+
+def test_conditional_fetch_verdicts_and_precedence(spark):
+    from go_crawler_spark.operators.revisit import conditional_fetch_plan
+
+    now = 1_000_000
+    rows = [
+        # (url, fetch_epoch, last_modified, etag)
+        # age 100, lm 10000s before fetch -> lifetime 1000 > age -> fresh
+        # even though BOTH validators exist (freshness wins precedence)
+        ("u_fresh", now - 100, "1970-01-01 00:00:00", "e1"),
+        # stale + etag + lm -> etag preferred (RFC 9110 §13.1.2)
+        ("u_etag", now - 500_000, "1970-01-01 00:00:00", "e2"),
+        # stale + lm only -> If-Modified-Since with the date validator
+        ("u_ims", now - 500_000, "1970-01-01 00:00:00", None),
+        # no validators -> unconditional full GET, lifetime 0
+        ("u_full", now - 10, None, None),
+    ]
+    # make u_fresh actually fresh: fetch at 999900, lm chosen so
+    # (fetch - lm)/10 > 100 — epoch 0 gives lifetime 99990
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, last_modified string, etag string"
+    )
+    got = {
+        r["url"]: r
+        for r in conditional_fetch_plan(df, now_epoch_s=now).collect()
+    }
+    assert got["u_fresh"]["action"] == "fresh"
+    assert got["u_fresh"]["validator"] is None
+    assert got["u_etag"]["action"] == "revalidate_etag"
+    assert got["u_etag"]["validator"] == "e2"
+    assert got["u_ims"]["action"] == "revalidate_ims"
+    assert got["u_ims"]["validator"] == "1970-01-01 00:00:00"
+    assert got["u_full"]["action"] == "full"
+    assert got["u_full"]["lifetime_s"] == 0
+    assert got["u_full"]["validator"] is None
+
+
+def test_adaptive_host_delay_clamps_and_exact_mean(spark):
+    from go_crawler_spark.operators.politeness import adaptive_host_delay
+
+    rows = (
+        [("slow.org", 40_000)] * 3          # 1.5x mean 40000 -> cap
+        + [("fast.org", 10)] * 4            # 1.5x mean 10 -> floor
+        + [("mid.org", 700), ("mid.org", 900)]  # 1.5x800 = 1200 exact
+    )
+    df = spark.createDataFrame(rows, "host string, response_ms long")
+    got = {
+        r["host"]: (r["n_obs"], r["delay_ms"])
+        for r in adaptive_host_delay(
+            df, min_delay_ms=250, max_delay_ms=30_000
+        ).collect()
+    }
+    assert got == {
+        "slow.org": (3, 30_000),
+        "fast.org": (4, 250),
+        "mid.org": (2, 1200),
+    }

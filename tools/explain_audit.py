@@ -729,6 +729,39 @@ def main() -> None:
          "ArrowEvalPython": False},
     )
 
+    # Conditional-fetch planner: map-only single codegen pass
+    from go_crawler_spark.operators.revisit import conditional_fetch_plan
+
+    cf_log = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        (F.lit(1_704_067_200) + F.col("doc_id") % 1000).alias("warc_ts"),
+        F.lit("2023-12-01").alias("last_modified"),
+        F.lit("e").alias("etag"),
+    )
+    audit(
+        "conditional_fetch (map-only revalidation planner)",
+        conditional_fetch_plan(cf_log, now_epoch_s=1_704_153_600),
+        {"Exchange": False, "codegen id": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
+    # Adaptive host delay: partial (map-side) agg before the exchange,
+    # exchange carries (host, sum, count) only — no text anywhere near it
+    from go_crawler_spark.operators.politeness import adaptive_host_delay
+
+    ahd = adaptive_host_delay(
+        docs.select(
+            F.col("source").alias("host"),
+            (F.col("doc_id") % 900 + 50).alias("response_ms"),
+        )
+    )
+    audit(
+        "adaptive_host_delay (map-side partial agg, integer statistic)",
+        ahd,
+        {"partial_sum": True, "Exchange": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
