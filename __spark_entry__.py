@@ -1842,6 +1842,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
         )
 
+    def host_graph_rollup(spark, sf):
+        # host-level webgraph aggregation (operators/linkgraph.py::
+        # rollup_graph): the page graph reduced to cross-host weighted
+        # edges — the product Common Crawl publishes as its host/domain
+        # graph releases. Hosts are synthesized 4-per-source so
+        # intra-host (dropped) and cross-host (counted) edges both occur.
+        from go_crawler_spark.operators.linkgraph import rollup_graph
+
+        docs = _t(spark, sf, "documents")
+        n = docs.count()
+        host = F.concat(
+            "source", F.lit("-"), (F.col("doc_id") % 4).cast("string")
+        )
+        hmap = docs.select(F.col("doc_id").alias("id"), host.alias("h"))
+        edges = docs.select(
+            F.col("doc_id").alias("s"),
+            ((F.col("doc_id") * 31 + 7) % n).alias("d"),
+        ).unionByName(
+            docs.select(
+                F.col("doc_id").alias("s"),
+                ((F.col("doc_id") * 17 + 3) % n).alias("d"),
+            )
+        )
+        ej = (
+            edges.join(
+                hmap.select(
+                    F.col("id").alias("s"), F.col("h").alias("src_h")
+                ),
+                "s",
+            )
+            .join(
+                hmap.select(
+                    F.col("id").alias("d"), F.col("h").alias("dst_h")
+                ),
+                "d",
+            )
+        )
+        return rollup_graph(ej, F.col("src_h"), F.col("dst_h"))
+
     def streaming_host_metrics(spark, sf):
         # Structured Streaming face (streaming/pipeline.py): corpus parquet
         # as a file-source stream -> fused extraction -> event-time windowed
@@ -2443,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkgraph_degrees": linkgraph_degrees,
         "linkgraph_pagerank": linkgraph_pagerank,
         "linkgraph_trustrank": linkgraph_trustrank,
+        "host_graph_rollup": host_graph_rollup,
         "global_seq_assignment": global_seq_assignment,
         "token_counts": token_counts,
         "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
@@ -2823,6 +2863,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM w JOIN pr2 p ON w.src = p.node GROUP BY w.dst) s
               ON d.doc_id = s.dst)
             SELECT node AS doc_id, round(rank, 6) AS rank FROM pr3
+        """,
+        "host_graph_rollup": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            hm AS (
+              SELECT doc_id, source || '-' || CAST(doc_id % 4 AS VARCHAR) AS h
+              FROM documents),
+            edges AS (
+              SELECT doc_id AS s, (doc_id*31+7) % (SELECT n FROM nn) AS d FROM documents
+              UNION ALL
+              SELECT doc_id AS s, (doc_id*17+3) % (SELECT n FROM nn) AS d FROM documents),
+            he AS (
+              SELECT hs.h AS src, hd.h AS dst
+              FROM edges e
+              JOIN hm hs ON e.s = hs.doc_id
+              JOIN hm hd ON e.d = hd.doc_id)
+            SELECT src, dst, count(*) AS n_links
+            FROM he WHERE src != dst GROUP BY src, dst
         """,
         "linkgraph_trustrank": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -349,6 +349,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "main_content_blocks",
         "conditional_fetch_actions",
         "adaptive_politeness_delay",
+        "host_graph_rollup",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -303,3 +303,34 @@ def edges_from_fetched(fetched: DataFrame) -> DataFrame:
         .filter(F.col("c.kind") == "page")
         .select("src", F.col("c.url").alias("dst"))
     )
+
+
+def rollup_graph(
+    edges: DataFrame,
+    src_key,
+    dst_key,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Aggregate the page-level link graph to a coarser node key — the
+    host-level / registrable-domain-level webgraph, the exact product
+    Common Crawl publishes alongside its page crawls (host graph and
+    domain graph releases). ``src_key``/``dst_key`` are Column
+    expressions over the edge row (e.g. ``surt_host_expr('src')`` or
+    ``registrable_domain_expr(...)``); same-key edges (intra-host links —
+    the overwhelming majority on real sites) are dropped by default,
+    matching the published graphs' cross-host semantics.
+
+    Returns (src, dst, n_links) with n_links the multiplicity — the
+    weighted edge the centrality tiers (pagerank/trustrank/hits, which
+    accept duplicate edges as weight) can consume directly, or
+    deduplicate via the weight column.
+
+    Scale shape: key derivation is map-only; the single exchange carries
+    (src_key, dst_key) pairs — never URLs or page bytes — and the count
+    combines map-side, so a 10^11-edge page graph reduces to the ~10^8-row
+    host graph with one bounded shuffle.
+    """
+    e = edges.select(src_key.alias("src"), dst_key.alias("dst"))
+    if drop_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count("*").alias("n_links"))

@@ -271,3 +271,26 @@ def test_iterative_checkpoints_freed(spark):
     assert comp.count() == 128
     # a 2^7 path takes several star rounds; live = final edge set + nodes
     assert n_persistent() <= base + 2
+
+
+def test_rollup_graph_weights_and_self_loops(spark):
+    from go_crawler_spark.operators.linkgraph import rollup_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a.org/1", "b.org/1", "a.org", "b.org"),
+            ("a.org/2", "b.org/9", "a.org", "b.org"),  # same host pair -> weight 2
+            ("a.org/1", "a.org/2", "a.org", "a.org"),  # intra-host -> dropped
+            ("b.org/1", "a.org/1", "b.org", "a.org"),
+        ],
+        "src string, dst string, sh string, dh string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["n_links"]
+        for r in rollup_graph(edges, F.col("sh"), F.col("dh")).collect()
+    }
+    assert got == {("a.org", "b.org"): 2, ("b.org", "a.org"): 1}
+    kept = rollup_graph(
+        edges, F.col("sh"), F.col("dh"), drop_self=False
+    ).count()
+    assert kept == 3  # the intra-host edge becomes its own weighted row

@@ -762,6 +762,27 @@ def main() -> None:
          "BatchEvalPython": False, "ArrowEvalPython": False},
     )
 
+    # Host-graph rollup: map-side partial count, exchange carries the
+    # (src_key, dst_key) pair only
+    from go_crawler_spark.operators.linkgraph import rollup_graph
+
+    rg = rollup_graph(
+        docs.select(
+            F.col("source").alias("sh"),
+            F.concat("source", (F.col("doc_id") % 4).cast("string")).alias(
+                "dh"
+            ),
+        ),
+        F.col("sh"),
+        F.col("dh"),
+    )
+    audit(
+        "host_graph_rollup (map-side partial count, pair-only exchange)",
+        rg,
+        {"partial_count": True, "Exchange": True,
+         "BatchEvalPython": False, "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
