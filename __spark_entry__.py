@@ -2251,6 +2251,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mc["n_content"].alias("n_content"),
         )
 
+    def url_rfc3986_normalize(spark, sf):
+        # RFC 3986 §6.2.2 syntax-based normalization (functions/urls.py::
+        # rfc3986_normalize_expr) — the URL-identity pass before the Q1
+        # seen-check. Six rotating spellings exercise scheme/host case,
+        # default ports both schemes, userinfo preservation, empty-path,
+        # unreserved decode, hex-case fold, and malformed-% passthrough.
+        from go_crawler_spark.functions.urls import rfc3986_normalize_expr
+
+        docs = _t(spark, sf, "documents")
+        i = F.col("doc_id").cast("string")
+        raw = (
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit("HTTP://"), F.upper("source"),
+                    F.lit("-Site.ORG:80/%7euser/"), i,
+                ),
+            )
+            .when(
+                F.col("doc_id") % 6 == 1,
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit("-site.org:443/p%3a"), i,
+                ),
+            )
+            .when(
+                F.col("doc_id") % 6 == 2,
+                F.concat(
+                    F.lit("https://User@"), F.col("source"),
+                    F.lit("-SITE.org/A%2Fb?x=%2a"), i,
+                ),
+            )
+            .when(
+                F.col("doc_id") % 6 == 3,
+                F.concat(F.lit("http://"), F.col("source"), F.lit("-site.org")),
+            )
+            .when(
+                F.col("doc_id") % 6 == 4,
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit("-site.org/%41%7A/"), i,
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://"), F.col("source"),
+                    F.lit("-site.org/100%25%"),
+                )
+            )
+        )
+        return docs.select(
+            "doc_id", rfc3986_normalize_expr(raw).alias("url_norm")
+        )
+
     def conditional_fetch_actions(spark, sf):
         # RFC 9111/9110 revalidation planner (operators/revisit.py::
         # conditional_fetch_plan): heuristic freshness + validator
@@ -2535,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_priority_sample": weighted_priority_sample,
         "mojibake_repair": mojibake_repair,
         "main_content_blocks": main_content_blocks,
+        "url_rfc3986_normalize": url_rfc3986_normalize,
         "conditional_fetch_actions": conditional_fetch_actions,
         "adaptive_politeness_delay": adaptive_politeness_delay,
         "domain_quality_docs": domain_quality_docs,
@@ -4818,6 +4873,66 @@ def oracle_sql() -> dict[str, str]:
                    round(greatest(CAST(n_chars AS DOUBLE),
                                   (SELECT t FROM tau)), 6) AS est_weight
             FROM ranked WHERE rn <= 120
+        """,
+        "url_rfc3986_normalize": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'HTTP://' || upper(source) || '-Site.ORG:80/%7euser/' || CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN 'https://' || source || '-site.org:443/p%3a' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN 'https://User@' || source || '-SITE.org/A%2Fb?x=%2a' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN 'http://' || source || '-site.org'
+                  WHEN 4 THEN 'http://' || source || '-site.org/%41%7A/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'http://' || source || '-site.org/100%25%'
+                END AS u
+              FROM documents),
+            p1 AS (
+              SELECT doc_id, u,
+                     regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1) AS sch,
+                     regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+              FROM raw),
+            p2 AS (
+              SELECT *, regexp_extract(rest, '^[^/?#]*', 0) AS auth,
+                        lower(sch) AS sl
+              FROM p1),
+            p3 AS (
+              SELECT *, substr(rest, length(auth) + 1) AS tl,
+                     CASE WHEN contains(auth, '@')
+                          THEN str_split(auth, '@')[1] || '@' ELSE '' END AS ui,
+                     lower(str_split(auth, '@')[-1]) AS hp
+              FROM p2),
+            p4 AS (
+              SELECT *,
+                CASE WHEN sl = 'http' AND ends_with(hp, ':80') THEN left(hp, length(hp) - 3)
+                     WHEN sl = 'https' AND ends_with(hp, ':443') THEN left(hp, length(hp) - 4)
+                     ELSE hp END AS hp2,
+                CASE WHEN length(tl) = 0 AND sl IN ('http', 'https') THEN '/'
+                     WHEN starts_with(tl, '?') AND sl IN ('http', 'https') THEN '/' || tl
+                     ELSE tl END AS pq
+              FROM p3),
+            p5 AS (
+              SELECT doc_id,
+                CASE WHEN sch != '' THEN sl || '://' || ui || hp2 || pq ELSE u END AS v
+              FROM p4),
+            p6 AS (SELECT doc_id, str_split(v, '%') AS parts FROM p5),
+            p7 AS (
+              SELECT doc_id, parts[1] AS head,
+                list_transform(parts[2:], p -> struct_pack(
+                  p := p,
+                  hx := substr(p, 1, 2),
+                  ok := regexp_matches(substr(p, 1, 2), '^[0-9A-Fa-f]{2}$'),
+                  code := (strpos('0123456789abcdef', substr(lower(substr(p, 1, 2)), 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(lower(substr(p, 1, 2)), 2, 1)) - 1)
+                )) AS fx
+              FROM p6)
+            SELECT doc_id,
+              head || coalesce(array_to_string(list_transform(fx, s -> CASE
+                 WHEN s.ok AND (s.code BETWEEN 48 AND 57 OR s.code BETWEEN 65 AND 90
+                                OR s.code BETWEEN 97 AND 122 OR s.code IN (45, 46, 95, 126))
+                   THEN chr(CAST(s.code AS INT)) || substr(s.p, 3)
+                 WHEN s.ok THEN '%' || upper(s.hx) || substr(s.p, 3)
+                 ELSE '%' || s.p END), ''), '') AS url_norm
+            FROM p7
         """,
         "conditional_fetch_actions": """
             WITH log AS (

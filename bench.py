@@ -350,6 +350,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "conditional_fetch_actions",
         "adaptive_politeness_delay",
         "host_graph_rollup",
+        "url_rfc3986_normalize",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -476,3 +476,97 @@ def url_template_expr(url):
     return F.concat(
         surt_host_expr(url), F.regexp_replace(F.lower(path), "[0-9]+", "<d>")
     )
+
+
+def pct_normalize_expr(url):
+    """RFC 3986 §6.2.2.1-2 percent-encoding normalization as a pure JVM
+    expression: decode percent-triplets of UNRESERVED characters
+    (ALPHA / DIGIT / ``-._~`` — §2.3: these encodings are equivalent to
+    the raw character and SHOULD be decoded) and uppercase the hex of
+    every other triplet (``%3a`` ≡ ``%3A``; the canonical form is upper).
+    Malformed ``%`` sequences pass through byte-identically.
+
+    Mechanics: split on ``%`` — each later piece starts with the
+    candidate hex pair — then one ``transform`` re-emits each piece
+    decoded, case-folded, or untouched. No regex callbacks (neither
+    engine has them), no Python; the DuckDB oracle replays the identical
+    piece algebra.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    pieces = F.split(url, "%", -1)
+    head = F.element_at(pieces, 1)
+
+    def _fix(p):
+        hex2 = F.substring(p, 1, 2)
+        is_hex = hex2.rlike("^[0-9A-Fa-f]{2}$")
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))
+            | ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | code.isin(45, 46, 95, 126)
+        )
+        rest = F.substring(p, 3, 1 << 30)
+        return (
+            F.when(is_hex & unreserved, F.concat(F.char(code), rest))
+            .when(is_hex, F.concat(F.lit("%"), F.upper(hex2), rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    tail = F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0)))
+    return F.concat(head, F.array_join(F.transform(tail, _fix), ""))
+
+
+def rfc3986_normalize_expr(url):
+    """RFC 3986 §6.2.2 syntax-based normalization [EXTENSION — URL
+    identity for the Q1 seen-set]: the transformations every compliant
+    crawler applies before the seen-check, so trivially-equivalent spellings
+    (``HTTP://Example.COM:80/%7euser`` vs ``http://example.com/~user``)
+    collapse to ONE frontier row instead of being fetched twice:
+
+    - scheme and host lowercased (§6.2.2.1; userinfo stays case-sensitive);
+    - default port dropped (``:80`` for http, ``:443`` for https — §6.2.3);
+    - empty path → ``/`` for http(s) (§6.2.3);
+    - percent-encoding normalized via :func:`pct_normalize_expr`.
+
+    Dot-segment removal (§6.2.2.3) is NOT repeated here: it already
+    happens at absolutization (canonicalize()'s RFC-3986 resolution —
+    the only place relative paths exist). Non-hierarchical inputs (no
+    ``://``) pass through percent-normalized only.
+
+    Scale shape: map-only string algebra, zero shuffles — a frontier of
+    10^10 URLs normalizes inside the scan's codegen span, and because the
+    result is deterministic per URL it composes with the hash-bucketed
+    seen layout (same input → same bucket on any executor).
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    m_scheme = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    is_hier = m_scheme != ""
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    authority = F.regexp_extract(rest, r"^[^/?#]*", 0)
+    tail = F.substring(rest, F.length(authority) + F.lit(1), F.lit(1 << 30))
+
+    scheme_l = F.lower(m_scheme)
+    # userinfo (case-sensitive, kept) vs host:port (lowered)
+    has_at = authority.contains("@")
+    userinfo = F.when(
+        has_at, F.concat(F.element_at(F.split(authority, "@"), 1), F.lit("@"))
+    ).otherwise(F.lit(""))
+    host_port = F.lower(F.element_at(F.split(authority, "@"), -1))
+    host_port = F.when(
+        (scheme_l == "http") & host_port.endswith(":80"),
+        F.substring(host_port, 1, F.length(host_port) - F.lit(3)),
+    ).when(
+        (scheme_l == "https") & host_port.endswith(":443"),
+        F.substring(host_port, 1, F.length(host_port) - F.lit(4)),
+    ).otherwise(host_port)
+
+    path_q = F.when(
+        (F.length(tail) == 0) & scheme_l.isin("http", "https"), F.lit("/")
+    ).when(
+        F.startswith(tail, F.lit("?")) & scheme_l.isin("http", "https"),
+        F.concat(F.lit("/"), tail),
+    ).otherwise(tail)
+
+    rebuilt = F.concat(scheme_l, F.lit("://"), userinfo, host_port, path_q)
+    return pct_normalize_expr(F.when(is_hier, rebuilt).otherwise(url))

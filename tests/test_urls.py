@@ -259,3 +259,54 @@ class TestFastPathsDifferential:
                     if not expect.startswith("."):
                         expect = "./" + expect
                 assert make_relative_url(root, local) == expect, (root, local)
+
+
+def test_rfc3986_normalize_vectors(spark):
+    """RFC 3986 §6.2.2/§6.2.3 vectors + malformed-% passthrough."""
+    from pyspark.sql import functions as F
+
+    from go_crawler_spark.functions.urls import rfc3986_normalize_expr
+
+    cases = [
+        # the spec's own §6.2.2 example shape
+        ("HTTP://www.Example.COM:80/%7eSmith/home.html",
+         "http://www.example.com/~Smith/home.html"),
+        ("https://Example.com:443?q=%3a%2f", "https://example.com/?q=%3A%2F"),
+        # userinfo stays case-sensitive; host lowers; :443 drops
+        ("https://User:Pw@Host.ORG:443/a", "https://User:Pw@host.org/a"),
+        ("http://example.com", "http://example.com/"),
+        # non-hierarchical: percent pass only
+        ("mailto:Someone@Example.COM", "mailto:Someone@Example.COM"),
+        # every unreserved class decodes
+        ("http://h/%41%5a%61%7a%30%39%2d%2e%5f%7e", "http://h/AZaz09-._~"),
+        # malformed % and reserved %25/%20 pass through byte-identically
+        ("http://h/a%zz%", "http://h/a%zz%"),
+        ("http://h/100%25%20ok", "http://h/100%25%20ok"),
+        # :80 on https (non-default) is KEPT; :443 on http kept
+        ("https://h.org:80/x", "https://h.org:80/x"),
+        ("http://h.org:443/x", "http://h.org:443/x"),
+    ]
+    df = spark.createDataFrame([(a, b) for a, b in cases], "u string, want string")
+    got = df.select(
+        rfc3986_normalize_expr(F.col("u")).alias("n"), "want", "u"
+    ).collect()
+    for r in got:
+        assert r["n"] == r["want"], (r["u"], r["n"], r["want"])
+
+
+def test_rfc3986_normalize_collapses_seen_identity(spark):
+    """The operator's purpose: trivially-equivalent spellings become ONE
+    seen-set row."""
+    from pyspark.sql import functions as F
+
+    from go_crawler_spark.functions.urls import rfc3986_normalize_expr
+
+    spellings = [
+        "http://EXAMPLE.com:80/%7Euser",
+        "HTTP://example.COM/%7euser",
+        "http://example.com:80/~user",
+    ]
+    df = spark.createDataFrame([(s,) for s in spellings], "u string")
+    n = df.select(rfc3986_normalize_expr(F.col("u")).alias("n")).distinct()
+    rows = n.collect()
+    assert len(rows) == 1 and rows[0]["n"] == "http://example.com/~user"

@@ -783,6 +783,21 @@ def main() -> None:
          "BatchEvalPython": False, "ArrowEvalPython": False},
     )
 
+    # RFC 3986 normalizer: map-only string algebra, zero exchanges
+    from go_crawler_spark.functions.urls import rfc3986_normalize_expr
+
+    audit(
+        "url_rfc3986_normalize (map-only, zero exchanges)",
+        docs.select(
+            "doc_id",
+            rfc3986_normalize_expr(
+                F.concat(F.lit("http://H.org:80/%7e"), F.col("source"))
+            ).alias("n"),
+        ),
+        {"Exchange": False, "BatchEvalPython": False,
+         "ArrowEvalPython": False},
+    )
+
     lines = [
         "# PLANS — physical-plan audit",
         "",
