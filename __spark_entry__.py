@@ -2187,6 +2187,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("est_weight", 6).alias("est_weight"),
         )
 
+    def stratified_priority_sample(spark, sf):
+        # per-language Duffield-Lund-Thorup k-sample ∝ n_chars with the
+        # per-stratum max(w, tau) estimator (operators/corpus_prep.py::
+        # priority_sample_stratified) — salted two-phase top-(k+1), so a
+        # mega-language never serializes one task.
+        from go_crawler_spark.operators.corpus_prep import (
+            priority_sample_stratified,
+        )
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        out = priority_sample_stratified(docs, "lang", "n_chars", k=30)
+        return out.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("priority", 6).alias("priority"),
+            F.round("est_weight", 6).alias("est_weight"),
+        )
+
     def mojibake_repair(spark, sf):
         # ftfy-style UTF-8-as-cp1252 repair (functions/text.py::
         # fix_mojibake — repair table DERIVED from the encoding
@@ -2589,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_priority_sample": weighted_priority_sample,
         "mojibake_repair": mojibake_repair,
         "main_content_blocks": main_content_blocks,
+        "stratified_priority_sample": stratified_priority_sample,
         "url_rfc3986_normalize": url_rfc3986_normalize,
         "conditional_fetch_actions": conditional_fetch_actions,
         "adaptive_politeness_delay": adaptive_politeness_delay,
@@ -5014,6 +5034,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(feats) AS INT) AS n_blocks,
                    CAST(len(kept) AS INT) AS n_content
             FROM k
+        """,
+        "stratified_priority_sample": f"""
+            WITH cand AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(n_chars AS DOUBLE)
+                       / ((({_prio_v}) + 1) / 4503599627370496.0)
+                       AS priority
+              FROM documents WHERE n_chars > 0
+            ),
+            ranked AS (
+              SELECT doc_id, lang, n_chars, priority,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY priority DESC, doc_id
+                     ) AS rn
+              FROM cand
+            ),
+            tau AS (
+              SELECT lang,
+                     coalesce(max(CASE WHEN rn = 31 THEN priority END), 0.0)
+                       AS t
+              FROM ranked GROUP BY lang
+            )
+            SELECT r.doc_id, r.lang, r.n_chars,
+                   round(r.priority, 6) AS priority,
+                   round(greatest(CAST(r.n_chars AS DOUBLE), tau.t), 6)
+                     AS est_weight
+            FROM ranked r JOIN tau ON r.lang = tau.lang
+            WHERE r.rn <= 30
         """,
         "mojibake_repair": f"""
             WITH r AS (

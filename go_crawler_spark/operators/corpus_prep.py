@@ -472,3 +472,64 @@ def priority_sample(
         .drop("_negp", "seq")
     )
     return out
+
+
+def priority_sample_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-stratum priority sampling: an independent Duffield-Lund-Thorup
+    k-sample (see :func:`priority_sample`) inside EVERY stratum — "sample
+    k docs per language ∝ token count with honest per-slice weight
+    accounting", the stratified subsampling step of a multilingual corpus
+    release. Priorities use the identical 52-bit md5 uniform, so a row's
+    key is the same whether it is sampled globally or per-stratum.
+
+    tau is per-stratum — the (k+1)-th priority within the stratum (0 when
+    the stratum has ≤ k weighted rows) — and ``est_weight = max(w, tau)``
+    keeps each stratum's subset-sum estimator unbiased independently.
+
+    100-TB shape: the top-(k+1) per stratum runs through the salted
+    two-phase scheme (:func:`domain_cap` — phase 2 is bounded to
+    n_salts·(k+1) rows per stratum, so a mega-stratum never serializes
+    one task); the tau/rank pass is a window over ≤ k+1 rows per stratum,
+    bounded by construction. No transcendentals anywhere near a cutoff.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    v = F.lit(0).cast("long")
+    for i in range(13):
+        v = v * 16 + (F.instr(F.lit(HEX_CHARS), F.substring(h, i + 1, 1)) - 1)
+    u = (v + 1).cast("double") / F.lit(float(1 << 52))
+    cand = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", F.col(weight_col).cast("double") / u)
+        .withColumn("_negp", -F.col("priority"))
+    )
+    top = domain_cap(
+        cand,
+        stratum_col,
+        cap=k + 1,
+        order_by=[F.col("_negp"), F.col(id_col)],
+        id_col=id_col,
+        n_salts=n_salts,
+    )
+    w_rank = Window.partitionBy(stratum_col).orderBy("_negp", id_col)
+    w_all = Window.partitionBy(stratum_col)
+    ranked = top.withColumn("_r", F.row_number().over(w_rank))
+    tau = F.coalesce(
+        F.max(F.when(F.col("_r") == k + 1, F.col("priority"))).over(w_all),
+        F.lit(0.0),
+    )
+    return (
+        ranked.withColumn(
+            "est_weight",
+            F.greatest(F.col(weight_col).cast("double"), tau),
+        )
+        .filter(F.col("_r") <= k)
+        .drop("_negp", "_r")
+    )

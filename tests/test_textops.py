@@ -548,3 +548,40 @@ class TestMojibakeRepair:
         df = spark.createDataFrame([(twice,)], "bad string")
         once = df.select(fix_mojibake(F.col("bad")).alias("o")).first()["o"]
         assert once == "Ãƒ©"  # 'Ãƒ©': only 'Â©'→'©' applied
+
+
+class TestStratifiedPrioritySample:
+    def test_matches_python_replica_per_stratum(self, spark):
+        from go_crawler_spark.operators.corpus_prep import (
+            priority_sample_stratified,
+        )
+        from tests.test_textops import TestPrioritySample as TPS
+
+        rows = [(i, "ab"[i % 2], (i * 37) % 97 + 1) for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+        got = priority_sample_stratified(df, "lang", "w", k=5).collect()
+
+        pri = {i: TPS._py_priority(i, w) for i, lg, w in rows}
+        for lg in ("a", "b"):
+            ids = [i for i, g, _ in rows if g == lg]
+            order = sorted(ids, key=lambda i: (-pri[i], i))
+            expect, tau = order[:5], pri[order[5]]
+            sub = [r for r in got if r["lang"] == lg]
+            assert sorted(r["doc_id"] for r in sub) == sorted(expect)
+            for r in sub:
+                assert r["priority"] == pri[r["doc_id"]]
+                assert r["est_weight"] == max(float(r["w"]), tau)
+
+    def test_small_stratum_keeps_all_exact(self, spark):
+        from go_crawler_spark.operators.corpus_prep import (
+            priority_sample_stratified,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x", 5), (2, "x", 7), (3, "y", 9)],
+            "doc_id long, lang string, w long",
+        )
+        got = priority_sample_stratified(df, "lang", "w", k=10).collect()
+        assert {r["doc_id"]: r["est_weight"] for r in got} == {
+            1: 5.0, 2: 7.0, 3: 9.0
+        }
