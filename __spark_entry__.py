@@ -676,6 +676,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.decode(F.col("payload"), "UTF-8").alias("text"),
         )
 
+    def wet_roundtrip(spark, sf):
+        # WET derivation round-trip (sources/warc.py::to_wet_records):
+        # pages -> conversion records (extracted text, UTF-8 octet
+        # Content-Length) -> packed segments -> scanned back. Identity
+        # oracle, same discipline as warc_roundtrip — the CC *.wet.gz
+        # export path.
+        from go_crawler_spark.sources.warc import (
+            pack_segments,
+            parse_warc_segments,
+            to_wet_records,
+        )
+
+        docs = _t(spark, sf, "documents")
+        pages = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/doc"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.col("text"),
+        )
+        segs = pack_segments(
+            to_wet_records(pages), F.pmod(F.xxhash64("url"), F.lit(8))
+        )
+        return parse_warc_segments(segs).select(
+            "url",
+            "warc_date",
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+
     def sitemap_seed_urls(spark, sf):
         # sitemap XML seed source: per-source <urlset> docs built
         # deterministically, parsed back with JVM xpath (S1 extension)
@@ -2579,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules_parse": robots_rules_parse,
         "robots_rfc_verdict": robots_rfc_verdict,
         "warc_roundtrip": warc_roundtrip,
+        "wet_roundtrip": wet_roundtrip,
         "sitemap_seed_urls": sitemap_seed_urls,
         "events_asof_join": events_asof_join,
         "neardup_keep_best": neardup_keep_best,
@@ -2833,6 +2864,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_id, user_id, ts, view_event_id, view_ts
             FROM filled WHERE event_type = 'click'
+        """,
+        "wet_roundtrip": """
+            SELECT 'https://' || source || '.example.com/doc'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   '2024-01-01T00:00:00Z' AS warc_date,
+                   coalesce(text, '') AS text
+            FROM documents
         """,
         "warc_roundtrip": """
             SELECT 'https://' || source || '.example.com/doc'

@@ -65,6 +65,49 @@ def to_warc_records(
     return pages.select(F.col(url_col).alias("url"), record.alias("record"))
 
 
+def to_wet_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """WET conversion records — the extracted-plain-text sibling Common
+    Crawl publishes next to every crawl (``*.warc.wet.gz``: one
+    ``WARC-Type: conversion`` record per page, ``Content-Type:
+    text/plain``, payload = the page's extracted text). This is the
+    natural EXPORT of the engine's text tier: crawl → extract_text →
+    WET segments is exactly the CC derivation pipeline.
+
+    Same map-only JVM concat as :func:`to_warc_records`; Content-Length
+    counts UTF-8 octets of the text (encode first — §4 counts octets,
+    not characters), and :func:`parse_warc_segments` reads the records
+    back unchanged (the scanner is Content-Length-driven and
+    type-agnostic). Null text → empty conversion record, row kept.
+    """
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    header = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: conversion" + _CRLF),
+        F.concat(F.lit("WARC-Target-URI: "), F.col(url_col), F.lit(_CRLF)),
+        F.concat(
+            F.lit("WARC-Date: "),
+            F.date_format(F.col(ts_col), _WARC_TS_FMT),
+            F.lit(_CRLF),
+        ),
+        F.lit("Content-Type: text/plain" + _CRLF),
+        F.concat(
+            F.lit("Content-Length: "),
+            F.length(payload).cast("string"),
+            F.lit(_CRLF),
+        ),
+        F.lit(_CRLF),
+    )
+    record = F.concat(
+        header.cast("binary"), payload, F.lit((_CRLF + _CRLF).encode())
+    )
+    return pages.select(F.col(url_col).alias("url"), record.alias("record"))
+
+
 def pack_segments(
     records: DataFrame, segment_col: "F.Column", order_col: str = "url"
 ) -> DataFrame:

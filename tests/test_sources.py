@@ -83,3 +83,36 @@ class TestSitemap:
         assert sorted(
             r["loc"] for r in sitemap_index_refs(df).collect()
         ) == ["https://x/s1.xml", "https://x/s2.xml"]
+
+
+def test_wet_records_header_and_octet_length(spark):
+    """WET conversion record: type/content-type headers present,
+    Content-Length counts UTF-8 OCTETS (multibyte text), null text kept
+    as an empty record, and the generic scanner round-trips it."""
+    from go_crawler_spark.sources.warc import (
+        pack_segments,
+        parse_warc_segments,
+        to_wet_records,
+    )
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a/1", "2024-01-01 00:00:00", "café ü"),  # 6 chars, 8 octets
+            ("https://a/2", "2024-01-01 00:00:00", None),
+        ],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    recs = to_wet_records(pages).collect()
+    raw = {r["url"]: bytes(r["record"]) for r in recs}
+    assert b"WARC-Type: conversion\r\n" in raw["https://a/1"]
+    assert b"Content-Type: text/plain\r\n" in raw["https://a/1"]
+    assert b"Content-Length: 8\r\n" in raw["https://a/1"]
+    assert b"Content-Length: 0\r\n" in raw["https://a/2"]
+
+    segs = pack_segments(to_wet_records(pages), F.lit(0))
+    back = {
+        r["url"]: bytes(r["payload"]).decode("utf-8")
+        for r in parse_warc_segments(segs).collect()
+    }
+    assert back == {"https://a/1": "café ü", "https://a/2": ""}
