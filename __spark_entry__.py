@@ -706,6 +706,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.decode(F.col("payload"), "UTF-8").alias("text"),
         )
 
+    def cdx_index_lines(spark, sf):
+        # CDXJ URL-index records (sources/cdx.py): SURT + ts14 + fixed-
+        # key-order JSON — the wayback/CC index artifact; the writer owns
+        # the global (surt, ts) range sort, the query face is the
+        # order-insensitive record set.
+        from go_crawler_spark.sources.cdx import to_cdxj_lines
+
+        docs = _t(spark, sf, "documents")
+        pages = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/doc"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1_704_067_200) + (F.col("doc_id") % 500) * 60
+            ).alias("warc_ts"),
+            F.encode(F.col("text"), "UTF-8").alias("html"),
+        )
+        return to_cdxj_lines(pages)
+
     def sitemap_seed_urls(spark, sf):
         # sitemap XML seed source: per-source <urlset> docs built
         # deterministically, parsed back with JVM xpath (S1 extension)
@@ -2610,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc_verdict": robots_rfc_verdict,
         "warc_roundtrip": warc_roundtrip,
         "wet_roundtrip": wet_roundtrip,
+        "cdx_index_lines": cdx_index_lines,
         "sitemap_seed_urls": sitemap_seed_urls,
         "events_asof_join": events_asof_join,
         "neardup_keep_best": neardup_keep_best,
@@ -2864,6 +2885,23 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_id, user_id, ts, view_event_id, view_ts
             FROM filled WHERE event_type = 'click'
+        """,
+        "cdx_index_lines": """
+            WITH p AS (
+              SELECT
+                'https://' || source || '.example.com/doc' || CAST(doc_id AS VARCHAR) AS url,
+                strftime(make_timestamp((1704067200 + (doc_id % 500) * 60) * 1000000),
+                         '%Y%m%d%H%M%S') AS ts14,
+                md5(coalesce(text, '')) AS digest,
+                strlen(coalesce(text, '')) AS len_b,
+                'com,example,' || source || ')/doc' || CAST(doc_id AS VARCHAR) AS surt_key
+              FROM documents)
+            SELECT surt_key, ts14,
+                   surt_key || ' ' || ts14 || ' {"url": "' || url
+                     || '", "digest": "' || digest
+                     || '", "length": ' || CAST(len_b AS VARCHAR) || '}'
+                     AS cdxj
+            FROM p
         """,
         "wet_roundtrip": """
             SELECT 'https://' || source || '.example.com/doc'

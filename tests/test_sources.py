@@ -116,3 +116,48 @@ def test_wet_records_header_and_octet_length(spark):
         for r in parse_warc_segments(segs).collect()
     }
     assert back == {"https://a/1": "café ü", "https://a/2": ""}
+
+
+def test_cdxj_line_golden_and_sorted_write_shape(spark):
+    """CDXJ golden line (fixed key order, octet length, md5 digest) and
+    the global-order discipline: repartitionByRange + sortWithinPartitions
+    yields per-partition sorted runs whose boundaries are non-overlapping
+    — the binary-searchable layout the index exists for."""
+    from go_crawler_spark.sources.cdx import to_cdxj_lines
+    from pyspark.sql import functions as F
+    import hashlib
+
+    pages = spark.createDataFrame(
+        [
+            ("https://www.example.com/a", "2024-01-01 00:00:00", b"body"),
+            ("https://sub.example.com/b", "2024-01-02 03:04:05", None),
+            ("https://other.org/c", "2024-01-01 00:00:00", b"x"),
+        ],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    lines = {r["surt_key"]: r for r in to_cdxj_lines(pages).collect()}
+    want_digest = hashlib.md5(b"body").hexdigest()
+    assert lines["com,example,www)/a"]["cdxj"] == (
+        "com,example,www)/a 20240101000000 "
+        '{"url": "https://www.example.com/a", '
+        f'"digest": "{want_digest}", "length": 4}}'
+    )
+    # null payload -> empty capture, md5 of b""
+    assert '"length": 0' in lines["com,example,sub)/b"]["cdxj"]
+
+    parted = (
+        to_cdxj_lines(pages)
+        .repartitionByRange(2, "surt_key", "ts14")
+        .sortWithinPartitions("surt_key", "ts14")
+    )
+    per_part = parted.select(
+        F.spark_partition_id().alias("pid"), "surt_key"
+    ).collect()
+    by_pid: dict = {}
+    for r in per_part:
+        by_pid.setdefault(r["pid"], []).append(r["surt_key"])
+    for keys in by_pid.values():
+        assert keys == sorted(keys)  # sorted runs
+    bounds = sorted((min(k), max(k)) for k in by_pid.values() if k)
+    for (lo1, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2  # non-overlapping ranges -> global order
