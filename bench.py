@@ -351,6 +351,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "adaptive_politeness_delay",
         "host_graph_rollup",
         "url_rfc3986_normalize",
+        "stratified_priority_sample",
+        "wet_roundtrip",
+        "cdx_index_lines",
     ]
     times: dict[str, float] = {}
     for name in names:
