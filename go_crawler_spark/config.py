@@ -80,6 +80,16 @@ class CrawlConfig:
     # broadcast into the corpus scan (~100s of MB of URLs); beyond it the
     # fetch join falls back to a shuffle-hash join on url — a billion-row
     # round cannot broadcast (operators/fetch.py)
+    normalize_urls: bool = False
+    # [EXTENSION] apply RFC 3986 §6.2.2 syntax-based normalization
+    # (functions/urls.py::rfc3986_normalize_expr) to every URL entering
+    # the frontier — seeds and extracted children — BEFORE the seen-check,
+    # so trivially-equivalent spellings (case, default port, unreserved
+    # percent-encodings) collapse to one identity and are fetched once.
+    # Off by default: the reference keys identity on the raw canonical
+    # string (Queueable.ItemId, models.go:149-151), and the flag changes
+    # the seen-set identity — a resumed crawl must use the SAME setting
+    # as the original run (like the robots/redirect-map note).
     seeds_unique: bool = False
     # caller-asserted: the distributed seed table has no duplicate urls
     # (e.g. a prior crawl's seen export, primary-keyed). Skips the seed

@@ -604,6 +604,32 @@ def run_crawl(
             else external_traps.unionByName(saved).distinct()
         )
 
+    if cfg.normalize_urls:
+        # RFC 3986 identity normalization at the frontier boundary: seeds
+        # here, children at the J2 explode below. The list path runs ONE
+        # bounded Spark pass (seed lists are driver-sized by definition;
+        # the 10^10-URL regime uses the DataFrame path, map-only); the
+        # DataFrame path must re-dedup — distinct spellings may collapse.
+        from dataclasses import replace as _dc_replace
+
+        from go_crawler_spark.functions.urls import rfc3986_normalize_expr
+
+        if isinstance(seeds, DataFrame):
+            seeds = seeds.select(
+                rfc3986_normalize_expr(F.col("url")).alias("url")
+            )
+            cfg = _dc_replace(cfg, seeds_unique=False)
+        else:
+            idx = spark.createDataFrame(
+                [(i, s) for i, s in enumerate(seeds)], "i long, url string"
+            )
+            seeds = [
+                r["url"]
+                for r in idx.select(
+                    "i", rfc3986_normalize_expr(F.col("url")).alias("url")
+                ).orderBy("i").collect()
+            ]
+
     if _resume_from is None:
         t = time.perf_counter()
         enq0_df = (
@@ -922,6 +948,12 @@ def run_crawl(
 
         # J2 — children explode → depth gate → within-round first-writer
         # dedup → bloom-pruned anti-join vs seen → budget + seq → enqueue
+        if cfg.normalize_urls:
+            from go_crawler_spark.functions.urls import rfc3986_normalize_expr
+
+            _child_url = rfc3986_normalize_expr(F.col("c.url"))
+        else:
+            _child_url = F.col("c.url")
         children = (
             fetched.select(
                 F.col("seq").alias("parent_seq"),
@@ -929,7 +961,7 @@ def run_crawl(
                 F.explode("children").alias("c"),
             )
             .select(
-                F.col("c.url").alias("url"),
+                _child_url.alias("url"),
                 F.col("c.kind").alias("kind"),
                 (F.col("parent_depth") + 1).alias("depth"),
                 "parent_seq",

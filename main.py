@@ -61,6 +61,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    "templates (a url_trap_census output or a bare "
                    "template column); matching frontier URLs are blocked "
                    "with status skipped_trap")
+    p.add_argument("--normalize-urls", action="store_true",
+                   help="RFC 3986 syntax-based normalization of every URL "
+                        "entering the frontier (seeds + extracted children) "
+                        "before the seen-check; a resumed crawl must use "
+                        "the same setting")
     p.add_argument("--trap-refresh-rounds", type=int, default=0,
                    help="re-census the fetched log every N rounds and gate "
                         "newly flagged trap templates in-crawl (0=off); "
@@ -118,6 +123,8 @@ def main(argv=None) -> None:
         overrides["shuffle_partitions"] = args.shuffle_partitions
     if args.table_backend is not None:
         overrides["table_backend"] = args.table_backend
+    if args.normalize_urls:
+        overrides["normalize_urls"] = True
     overrides["output_dir"] = args.output
     cfg = CrawlConfig.from_env(**overrides)
 
