@@ -58,3 +58,55 @@ def test_link_density_rational_threshold(spark):
     over = "<p><a href=x>a b c d</a> e f g</p>"        # lw=4 nw=7 -> drop
     assert _run(spark, half, min_words=3)["n_content"] == 1
     assert _run(spark, over, min_words=3)["n_content"] == 0
+
+
+def test_matches_python_model_random(spark):
+    """Seeded random pseudo-HTML (block tags in mixed case, inline tags,
+    anchors, bare text, brs) — the Spark expression must equal an
+    independent Python implementation of the same split/strip/count
+    algebra on every document."""
+    import random
+    import re
+
+    rng = random.Random(4242)
+    frags = [
+        "<p>", "</p>", "<DIV class=x>", "</div>", "<LI>", "<br/>", "<br />",
+        "<b>", "</b>", "<a href=q>", "</a>", "word ", "w ", "longer words ",
+        "here are five words now ",
+    ]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 30))))
+        for i in range(300)
+    ]
+
+    split_re = re.compile(
+        r"(?i)</?(?:p|div|td|li|h[1-6]|article|section|blockquote)\b[^>]*>"
+        r"|<br\s*/?>"
+    )
+    tag_re = re.compile(r"<[^>]+>")
+    anchor_re = re.compile(r"(?is)<a\b[^>]*>(.*?)</a>")
+
+    def words(s: str) -> int:
+        return len([w for w in s.strip().split() if w])
+
+    def py_mc(html: str):
+        feats = []
+        for b in split_re.split(html):
+            visible = re.sub(r"\s+", " ", tag_re.sub(" ", b)).strip()
+            nw = words(visible)
+            if nw == 0:
+                continue
+            link = tag_re.sub(" ", " ".join(anchor_re.findall(b)))
+            feats.append((visible, nw, words(link)))
+        kept = [t for t in feats if t[1] >= 5 and t[2] * 2 <= t[1]]
+        return (" ".join(t[0] for t in kept), len(feats), len(kept))
+
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {
+        r["i"]: (r["m"]["main_text"], r["m"]["n_blocks"], r["m"]["n_content"])
+        for r in df.select(
+            "i", extract_main_content(F.col("html")).alias("m")
+        ).collect()
+    }
+    for i, html in rows:
+        assert got[i] == py_mc(html), (i, html, got[i], py_mc(html))

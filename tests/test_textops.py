@@ -585,3 +585,87 @@ class TestStratifiedPrioritySample:
         assert {r["doc_id"]: r["est_weight"] for r in got} == {
             1: 5.0, 2: 7.0, 3: 9.0
         }
+
+
+def test_mojibake_matches_python_model_random(spark):
+    """Seeded random strings mixing clean text, every repertoire artifact,
+    partial/malformed % sequences, and repaired chars adjacent to
+    artifact fragments — Spark's replace chain must equal a from-scratch
+    Python fold of the same table on every row."""
+    import random
+
+    from go_crawler_spark.functions.text import (
+        MOJIBAKE_TARGETS,
+        as_mojibake,
+        fix_mojibake,
+        mojibake_pairs,
+    )
+
+    rng = random.Random(20240820)
+    atoms = (
+        ["word", " ", "x", "Ã", "Â", "â", "€", "%", "â€"]
+        + [as_mojibake(c) for c in MOJIBAKE_TARGETS]
+        + list(MOJIBAKE_TARGETS)
+    )
+    rows = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 24))))
+        for i in range(400)
+    ]
+
+    pairs = mojibake_pairs()
+
+    def py_fix(s: str) -> str:
+        for bad, good in pairs:
+            s = s.replace(bad, good)
+        return s
+
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["o"]
+        for r in df.select("i", fix_mojibake(F.col("s")).alias("o")).collect()
+    }
+    for i, s in rows:
+        assert got[i] == py_fix(s), (i, s, got[i], py_fix(s))
+
+
+def test_pct_normalize_matches_python_model_random(spark):
+    """Random %-dense strings (valid triplets of every class, bare %,
+    truncated hex, doubled %%) — Spark's piece algebra must equal an
+    independent Python scan."""
+    import random
+
+    from go_crawler_spark.functions.urls import pct_normalize_expr
+
+    rng = random.Random(99)
+    frags = ["a", "Z", "/", "%", "%2", "%25", "%3a", "%3A", "%41", "%7e",
+             "%7E", "%zz", "%%41", "%2f%2F", "é"]
+    rows = [
+        (i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 20))))
+        for i in range(400)
+    ]
+
+    def py_norm(s: str) -> str:
+        parts = s.split("%")
+        out = [parts[0]]
+        for p in parts[1:]:
+            hx = p[:2]
+            if len(hx) == 2 and all(c in "0123456789abcdefABCDEF" for c in hx):
+                code = int(hx, 16)
+                if (48 <= code <= 57 or 65 <= code <= 90
+                        or 97 <= code <= 122 or code in (45, 46, 95, 126)):
+                    out.append(chr(code) + p[2:])
+                else:
+                    out.append("%" + hx.upper() + p[2:])
+            else:
+                out.append("%" + p)
+        return "".join(out)
+
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["o"]
+        for r in df.select(
+            "i", pct_normalize_expr(F.col("s")).alias("o")
+        ).collect()
+    }
+    for i, s in rows:
+        assert got[i] == py_norm(s), (i, repr(s), repr(got[i]), repr(py_norm(s)))
