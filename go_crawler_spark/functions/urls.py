@@ -538,8 +538,22 @@ def rfc3986_normalize_expr(url):
     10^10 URLs normalizes inside the scan's codegen span, and because the
     result is deterministic per URL it composes with the hash-bucketed
     seen layout (same input → same bucket on any executor).
+
+    Fast path: a URL that is PROVABLY already normal — no uppercase or
+    ``%`` anywhere, hierarchical with a non-empty path, no ``:80``/``:443``
+    in the authority — passes through on three regex tests instead of the
+    full pipeline. Conservative by construction: any URL the tests cannot
+    clear (uppercase in the PATH is legal and preserved, but trips the
+    cheap test) takes the slow path and gets the identical answer; the
+    in-loop A/B (BENCH/BASELINE.md) measures the gate's payoff on an
+    already-canonical frontier, the common case of a mature crawl.
     """
     url = F.col(url) if isinstance(url, str) else url
+    already_normal = (
+        ~url.rlike(r"[A-Z%]")
+        & url.rlike(r"^[a-z][a-z0-9+.\-]*://[^/?#]*/")
+        & ~url.rlike(r"^[a-z][a-z0-9+.\-]*://[^/?#]*:(80|443)/")
+    )
     m_scheme = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
     is_hier = m_scheme != ""
     rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
@@ -569,4 +583,6 @@ def rfc3986_normalize_expr(url):
     ).otherwise(tail)
 
     rebuilt = F.concat(scheme_l, F.lit("://"), userinfo, host_port, path_q)
-    return pct_normalize_expr(F.when(is_hier, rebuilt).otherwise(url))
+    return F.when(already_normal, url).otherwise(
+        pct_normalize_expr(F.when(is_hier, rebuilt).otherwise(url))
+    )
