@@ -2256,6 +2256,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("est_weight", 6).alias("est_weight"),
         )
 
+    def script_mix_docs(spark, sf):
+        # Unicode script-mix classification (functions/text.py::
+        # script_counts/dominant_script): the pre-langid routing signal —
+        # script decides which language models are even candidates.
+        # Non-Latin snippets are appended with doc-id-scaled repetition
+        # so dominance actually flips across the corpus.
+        from go_crawler_spark.functions.text import (
+            dominant_script,
+            script_counts,
+        )
+
+        docs = _t(spark, sf, "documents")
+        m = F.col("doc_id") % 4
+        snip = (
+            F.when(m == 1, F.lit("漢字文章"))
+            .when(m == 2, F.lit("русский текст"))
+            .when(m == 3, F.lit("نص عربي"))
+            .otherwise(F.lit(""))
+        )
+        sampled = F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.repeat(snip, ((F.col("doc_id") % 9) * 18).cast("int")),
+        )
+        counts = script_counts(sampled)
+        return docs.select(
+            "doc_id",
+            *[c.alias(f"n_{n}") for n, c in counts],
+            dominant_script(sampled).alias("script"),
+        )
+
     def mojibake_repair(spark, sf):
         # ftfy-style UTF-8-as-cp1252 repair (functions/text.py::
         # fix_mojibake — repair table DERIVED from the encoding
@@ -2659,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_blocklist_docs": word_blocklist_docs,
         "weighted_priority_sample": weighted_priority_sample,
         "mojibake_repair": mojibake_repair,
+        "script_mix_docs": script_mix_docs,
         "main_content_blocks": main_content_blocks,
         "stratified_priority_sample": stratified_priority_sample,
         "url_rfc3986_normalize": url_rfc3986_normalize,
@@ -2741,6 +2773,8 @@ def oracle_sql() -> dict[str, str]:
     _moj_fixed = "raw"
     for _bad, _good in _moj_pairs():
         _moj_fixed = f"replace({_moj_fixed}, '{_bad}', '{_good}')"
+
+    from go_crawler_spark.functions.text import SCRIPT_CLASSES as _SCRIPTS
 
     def lang_hits(words: tuple[str, ...]) -> str:
         lst = ", ".join(f"'{w}'" for w in words)
@@ -5138,6 +5172,33 @@ def oracle_sql() -> dict[str, str]:
                      AS est_weight
             FROM ranked r JOIN tau ON r.lang = tau.lang
             WHERE r.rn <= 30
+        """,
+        "script_mix_docs": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' ' || repeat(
+                       CASE doc_id % 4
+                         WHEN 1 THEN '漢字文章'
+                         WHEN 2 THEN 'русский текст'
+                         WHEN 3 THEN 'نص عربي'
+                         ELSE '' END,
+                       CAST((doc_id % 9) * 18 AS INT)) AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     {", ".join(
+                        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+                        for name, pat in _SCRIPTS)}
+              FROM s)
+            SELECT doc_id, n_latin, n_digit, n_cjk, n_cyrillic, n_arabic,
+                   CASE
+                     WHEN n_arabic > greatest(n_latin, n_digit, n_cjk, n_cyrillic) THEN 'arabic'
+                     WHEN n_cyrillic > greatest(n_latin, n_digit, n_cjk) THEN 'cyrillic'
+                     WHEN n_cjk > greatest(n_latin, n_digit) THEN 'cjk'
+                     WHEN n_digit > n_latin THEN 'digit'
+                     WHEN n_latin > 0 THEN 'latin'
+                     ELSE 'und' END AS script
+            FROM c
         """,
         "mojibake_repair": f"""
             WITH r AS (

@@ -354,6 +354,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "stratified_priority_sample",
         "wet_roundtrip",
         "cdx_index_lines",
+        "script_mix_docs",
     ]
     times: dict[str, float] = {}
     for name in names:

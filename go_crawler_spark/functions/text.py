@@ -242,3 +242,43 @@ def fix_mojibake(col: Column) -> Column:
     for bad, good in mojibake_pairs():
         out = F.replace(out, F.lit(bad), F.lit(good))
     return out
+
+
+# --- Unicode script mix (pre-langid signal) ---------------------------------
+
+# the big script blocks a webtext pipeline routes on before n-gram lang-id
+# (script decides WHICH language models are even candidates — CLD/fastText
+# both gate on it): Basic Latin letters, digits, CJK Unified Ideographs,
+# Cyrillic, Arabic. Ranges are embedded as literal characters so the same
+# pattern strings run in Spark (Java regex) and DuckDB (RE2) unchanged.
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cjk", f"[{chr(0x4E00)}-{chr(0x9FFF)}]"),
+    ("cyrillic", f"[{chr(0x0400)}-{chr(0x04FF)}]"),
+    ("arabic", f"[{chr(0x0600)}-{chr(0x06FF)}]"),
+)
+
+
+def script_counts(col: Column) -> list[tuple[str, Column]]:
+    """Per-script character counts — one JVM ``regexp_count`` per class,
+    map-only, no explode."""
+    return [
+        (name, F.regexp_count(col, F.lit(pat))) for name, pat in SCRIPT_CLASSES
+    ]
+
+
+def dominant_script(col: Column) -> Column:
+    """argmax over :func:`script_counts` with the table order as the
+    deterministic tie-break (first listed wins ties — so empty text and
+    all-punctuation rows fall through to 'und'). Built as a fold of
+    when/otherwise over running maxima: pure codegen, no array, no sort."""
+    counts = script_counts(col)
+    best_name = F.lit("und")
+    best_n = F.lit(0).cast("int")
+    # strictly-greater comparison preserves first-listed-wins on ties
+    for name, n in counts:
+        is_better = n > best_n
+        best_name = F.when(is_better, F.lit(name)).otherwise(best_name)
+        best_n = F.when(is_better, n).otherwise(best_n)
+    return best_name

@@ -669,3 +669,35 @@ def test_pct_normalize_matches_python_model_random(spark):
     }
     for i, s in rows:
         assert got[i] == py_norm(s), (i, repr(s), repr(got[i]), repr(py_norm(s)))
+
+
+def test_script_mix_dominant_and_ties(spark):
+    from go_crawler_spark.functions.text import dominant_script, script_counts
+
+    rows = [
+        (0, "hello world"),            # latin
+        (1, "漢字文章漢字文章 hi"),      # cjk outnumbers latin
+        (2, "русский"),                # cyrillic
+        (3, "نص عربي"),                # arabic
+        (4, "12345 abc"),              # latin 3 < digit 5 -> digit
+        (5, ",,, !!!"),                # nothing -> und
+        (6, ""),                       # empty -> und
+        (7, "ab 12"),                  # TIE latin 2 == digit 2 -> first listed (latin)
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", dominant_script(F.col("t")).alias("s")).collect()
+    }
+    assert got == {0: "latin", 1: "cjk", 2: "cyrillic", 3: "arabic",
+                   4: "digit", 5: "und", 6: "und", 7: "latin"}
+    counts = {
+        n: v
+        for n, v in zip(
+            [n for n, _ in script_counts(F.col("t"))],
+            df.filter(F.col("i") == 1)
+            .select(*[c for _, c in script_counts(F.col("t"))])
+            .first(),
+        )
+    }
+    assert counts["cjk"] == 8 and counts["latin"] == 2
